@@ -1,0 +1,106 @@
+"""The reference's core "typical day" operator: per-group stats, join-back,
+n-sigma outlier rejection, re-aggregation.
+
+Reference shape (single-pass CTE v2): ``dags/mitma/new_gold.py:22-86`` —
+  stats CTE: GROUP BY keys → AVG, COALESCE(STDDEV_SAMP,0)
+  join back on the full key (dags/mitma/new_gold.py:56-61)
+  BETWEEN avg±3σ retention band (dags/mitma/new_gold.py:65-66)
+  final GROUP BY: SUM/AVG/COALESCE(STDDEV,0)/COUNT(DISTINCT date)
+  (dags/mitma/new_gold.py:68-78)
+
+Scale notes:
+- Implemented with the explicit self-join (not a window) to preserve the
+  reference's oracle-checkable semantics; Catalyst plans both sides of the
+  join from the same shuffle-on-keys, and AQE handles skewed OD pairs.
+- A window variant (``Window.partitionBy(keys)``) computes the same result
+  with ONE shuffle instead of two scans + join; offered as
+  ``sigma_filtered_stats_window`` for the fast path. Both return identical
+  rows thanks to deterministic decimal aggregation.
+- The reference's chunked-by-day_type fallback (dags/mitma/new_gold.py:89-148)
+  is intentionally absent: shuffle partitioning + spill already bound memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dstddev_samp0, dsum
+
+
+def sigma_filtered_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    date_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Two-level aggregation with n-sigma outlier rejection (join form).
+
+    Output columns: keys + total_trips, avg_trips, std_trips,
+    num_days_observed — the gold_typical_day_patterns schema
+    (dags/mitma/new_gold.py:7-18).
+    """
+    keys = list(keys)
+    v = F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        davg(v).alias("_mu"),
+        dstddev_samp0(v).alias("_sigma"),
+    )
+    joined = df.join(stats, on=keys)
+    band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
+    band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
+    filtered = joined.filter(v.between(band_lo, band_hi))
+    return filtered.groupBy(*keys).agg(
+        dsum(v).alias("total_trips"),
+        davg(v).alias("avg_trips"),
+        dstddev_samp0(v).alias("std_trips"),
+        F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
+    )
+
+
+def sigma_filtered_stats_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    date_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Window-function variant: one shuffle, no self-join — the plan you
+    want at scale (SURVEY §2.4 J1 note). Semantics identical to
+    :func:`sigma_filtered_stats`."""
+    keys = list(keys)
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys)
+    # Aggregate-over-window must be applied per aggregate function; the
+    # composite davg/dstd helpers are arithmetic over aggregates, so build
+    # the moments explicitly and close the math outside the window.
+    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(v).over(w)
+    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    sigma = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None).cast("double"))
+    with_stats = df.withColumn("_mu", s1 / n).withColumn("_sigma", F.coalesce(sigma, F.lit(0.0)))
+    band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
+    band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
+    filtered = with_stats.filter(v.between(band_lo, band_hi))
+    return filtered.groupBy(*keys).agg(
+        dsum(v).alias("total_trips"),
+        davg(v).alias("avg_trips"),
+        dstddev_samp0(v).alias("std_trips"),
+        F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
+    )
+
+
+def unfiltered_stats(df: DataFrame, keys: Sequence[str], value_col: str, date_col: str) -> DataFrame:
+    """The reference's degraded fast path — same battery, no outlier band
+    (dags/mitma/new_gold.py:151-179)."""
+    v = F.col(value_col)
+    return df.groupBy(*list(keys)).agg(
+        dsum(v).alias("total_trips"),
+        davg(v).alias("avg_trips"),
+        dstddev_samp0(v).alias("std_trips"),
+        F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
+    )

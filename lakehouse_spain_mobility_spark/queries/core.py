@@ -1,0 +1,176 @@
+"""Flagship queries: the reference's gold "typical day" model (BQ1) and its
+report rollup, re-targeted at the synthetic ``events`` table.
+
+events(event_id, ts, user_id, event_type, value, props) plays the role of
+silver_mobility_trips(date, hour_period, origin_zone, destination_zone,
+trips, day_type): event_type→origin_zone, user_id bucket→destination_zone,
+value→trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scalar
+from ..functions.deterministic import (
+    davg,
+    dstddev_samp,
+    dsum,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dstddev_samp0,
+    sql_dsum,
+)
+from ..operators.outlier_stats import sigma_filtered_stats_window, unfiltered_stats
+from . import QuerySpec, register
+from .tables import load
+
+
+def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → silver_mobility_trips-shaped frame.
+
+    Mirrors the silver typing/cleaning hop (dags/mitma/silver_mitma.py:119-140):
+    typed projection, day_type encoding, validity filters.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.to_date("ts").alias("date"),
+        F.hour("ts").cast("int").alias("hour_period"),
+        F.col("event_type").alias("origin_zone"),
+        (F.col("user_id") % 20).cast("string").alias("destination_zone"),
+        F.col("value").alias("trips"),
+        scalar.day_type(F.col("ts")).alias("day_type"),
+    ).filter(F.col("trips").isNotNull() & (F.col("trips") >= 0) & F.col("date").isNotNull())
+
+
+_SILVER_SQL = f"""
+    SELECT CAST(ts AS DATE) AS date,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_period,
+           event_type AS origin_zone,
+           CAST(user_id % 20 AS VARCHAR) AS destination_zone,
+           value AS trips,
+           {scalar.sql_day_type('ts')} AS day_type
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0 AND CAST(ts AS DATE) IS NOT NULL
+"""
+
+_KEYS = ["day_type", "hour_period", "origin_zone", "destination_zone"]
+
+
+def q_typical_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold typical-day patterns with 3σ outlier rejection
+    (dags/mitma/new_gold.py:22-86).
+
+    Uses the window-function form (one shuffle, single scan) rather than the
+    reference's stats-CTE self-join; deterministic decimal aggregation makes
+    the two forms bit-identical, and the oracle SQL keeps the reference's
+    join shape to prove it.
+    """
+    silver = _events_silver(spark, sf_dir)
+    return sigma_filtered_stats_window(silver, _KEYS, "trips", "date", n_sigma=3.0)
+
+
+_TYPICAL_DAY_SQL = f"""
+WITH silver AS ({_SILVER_SQL}),
+stats AS (
+    SELECT day_type, hour_period, origin_zone, destination_zone,
+           {sql_davg('trips')} AS _mu,
+           {sql_dstddev_samp0('trips')} AS _sigma
+    FROM silver
+    GROUP BY day_type, hour_period, origin_zone, destination_zone
+)
+SELECT s.day_type, s.hour_period, s.origin_zone, s.destination_zone,
+       {sql_dsum('s.trips')} AS total_trips,
+       {sql_davg('s.trips')} AS avg_trips,
+       {sql_dstddev_samp0('s.trips')} AS std_trips,
+       CAST(COUNT(DISTINCT s.date) AS INTEGER) AS num_days_observed
+FROM silver s
+JOIN stats st
+  ON s.day_type = st.day_type AND s.hour_period = st.hour_period
+ AND s.origin_zone = st.origin_zone AND s.destination_zone = st.destination_zone
+WHERE s.trips BETWEEN (st._mu - 3.0 * st._sigma) AND (st._mu + 3.0 * st._sigma)
+GROUP BY s.day_type, s.hour_period, s.origin_zone, s.destination_zone
+"""
+
+
+def q_typical_day_nofilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degraded fast path: same battery, no outlier band
+    (dags/mitma/new_gold.py:151-179)."""
+    silver = _events_silver(spark, sf_dir)
+    return unfiltered_stats(silver, _KEYS, "trips", "date")
+
+
+_TYPICAL_DAY_NOFILTER_SQL = f"""
+WITH silver AS ({_SILVER_SQL})
+SELECT day_type, hour_period, origin_zone, destination_zone,
+       {sql_dsum('trips')} AS total_trips,
+       {sql_davg('trips')} AS avg_trips,
+       {sql_dstddev_samp0('trips')} AS std_trips,
+       CAST(COUNT(DISTINCT date) AS INTEGER) AS num_days_observed
+FROM silver
+GROUP BY day_type, hour_period, origin_zone, destination_zone
+"""
+
+
+def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ1 report re-aggregation over gold, IN-scoped to target zones
+    (dags/mitma/generate_report.py:45-61): SUM/AVG/STDDEV of the pattern
+    stats + AVG(num_days_observed), grouped by (day_type, hour_period)."""
+    gold = q_typical_day(spark, sf_dir)
+    scoped = gold.filter(F.col("origin_zone").isin("click", "view", "purchase"))
+    return (
+        scoped.groupBy("day_type", "hour_period")
+        .agg(
+            dsum(F.col("total_trips")).alias("total_trips"),
+            davg(F.col("total_trips")).alias("avg_trips"),
+            dstddev_samp(F.col("total_trips")).alias("std_trips"),
+            davg(F.col("num_days_observed").cast("double")).alias("avg_days_observed"),
+        )
+        .orderBy("day_type", "hour_period")
+    )
+
+
+_REPORT_ROLLUP_SQL = f"""
+WITH gold AS ({_TYPICAL_DAY_SQL})
+SELECT day_type, hour_period,
+       {sql_dsum('total_trips')} AS total_trips,
+       {sql_davg('total_trips')} AS avg_trips,
+       {sql_dstddev_samp('total_trips')} AS std_trips,
+       {sql_davg('CAST(num_days_observed AS DOUBLE)')} AS avg_days_observed
+FROM gold
+WHERE origin_zone IN ('click', 'view', 'purchase')
+GROUP BY day_type, hour_period
+ORDER BY day_type, hour_period
+"""
+
+
+register(
+    QuerySpec(
+        name="typical_day",
+        build=q_typical_day,
+        oracle=_TYPICAL_DAY_SQL,
+        survey="A1,A2,J1,P5,P7,U1",
+        bench=True,
+        description="Gold typical-day 3σ pattern model (dags/mitma/new_gold.py:22-86)",
+    )
+)
+register(
+    QuerySpec(
+        name="typical_day_nofilter",
+        build=q_typical_day_nofilter,
+        oracle=_TYPICAL_DAY_NOFILTER_SQL,
+        survey="A1,A2",
+        description="Degraded no-outlier-filter gold variant (dags/mitma/new_gold.py:151-179)",
+    )
+)
+register(
+    QuerySpec(
+        name="report_rollup",
+        build=q_report_rollup,
+        oracle=_REPORT_ROLLUP_SQL,
+        survey="A4,P6",
+        bench=True,
+        description="BQ1 report rollup with IN-scoping (dags/mitma/generate_report.py:45-61)",
+    )
+)
