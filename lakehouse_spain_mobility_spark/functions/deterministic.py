@@ -1,4 +1,4 @@
-"""Deterministic (order-independent) floating-point aggregation.
+"""Deterministic (order-independent, engine-portable) float aggregation.
 
 Distributed SUM/AVG/STDDEV over DOUBLE are order-dependent in the last
 ulps — Spark's shuffle-merge order differs run to run, and differs from a
@@ -6,17 +6,25 @@ single-threaded columnar engine. The reference's gold stats battery
 (SUM/AVG/STDDEV_SAMP — ``dags/mitma/new_gold.py:33-45,68-78``) must however
 hash-match a DuckDB oracle exactly.
 
-Strategy: aggregate through DECIMAL. Per-row expressions stay DOUBLE
-(IEEE ops are bit-identical across engines); at the aggregation boundary
-values are cast to a fixed-scale DECIMAL, summed exactly (decimal addition
-is associative — order can't change the result), and the final scalar math
-(avg division, variance, sqrt) is done in DOUBLE with an identical
-expression tree on both engines. Each Spark helper therefore has a SQL
-twin (``sql_*``) that generates the equivalent DuckDB text.
+Strategy: fixed-point aggregation. Per-row expressions stay DOUBLE (IEEE
+ops are bit-identical across engines); at the aggregation boundary each
+value is scaled by 1e6, rounded (both engines round the *same* exact
+binary value half-away-from-zero), summed exactly as DECIMAL(38,0)
+(associative — order can't change the result), and the closing scalar math
+(unscale, avg division, variance, sqrt) runs in DOUBLE with an identical
+expression tree on both engines. Each Spark helper has a SQL twin
+(``sql_*``) generating the equivalent DuckDB text.
+
+Two portability traps this design dodges (found empirically):
+- double→DECIMAL(38,6) casts round differently between engines near ties;
+  ROUND(x*1e6) into DECIMAL(38,0) agrees on every value tested.
+- DECIMAL→DOUBLE casts can differ by 1 ulp beyond 15 significant digits
+  (DuckDB's int128 path vs Java's BigDecimal); casting through a string is
+  correctly rounded in both.
 
 This costs a few % vs native double sums but buys bit-exact reproducibility
-across partitionings — which also means a 1000-executor run returns the
-same bytes as a laptop run, a property worth keeping at 100 TB.
+across partitionings — a 1000-executor run returns the same bytes as a
+laptop run, a property worth keeping at 100 TB.
 """
 
 from __future__ import annotations
@@ -24,24 +32,35 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 38 total digits, fixed scale: plenty of integer headroom for 1e12-row sums
-# of business-magnitude doubles.
-_SCALE = 6
-_DEC = f"decimal(38,{_SCALE})"
+_SCALE = 1000000.0  # 6 fixed decimal places
+
+
+def _dec2dbl(c: Column) -> Column:
+    """DECIMAL -> DOUBLE via string (correctly rounded in both engines)."""
+    return c.cast("string").cast("double")
+
+
+def _scaled_sum(col: Column) -> Column:
+    """Exact fixed-point sum: ROUND(x·1e6) summed as DECIMAL(38,0)."""
+    return F.sum(F.round(col * F.lit(_SCALE)).cast("decimal(38,0)"))
+
+
+def _sql_scaled_sum(expr: str) -> str:
+    return f"SUM(CAST(ROUND(({expr}) * 1000000.0) AS DECIMAL(38,0)))"
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent SUM(double) -> double (exact via decimal)."""
-    return F.sum(col.cast(_DEC)).cast("double")
+    """Order-independent SUM(double) -> double."""
+    return _dec2dbl(_scaled_sum(col)) / F.lit(_SCALE)
 
 
 def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{_SCALE}))) AS DOUBLE)"
+    return f"(CAST(CAST({_sql_scaled_sum(expr)} AS VARCHAR) AS DOUBLE) / 1000000.0)"
 
 
 def davg(col: Column) -> Column:
-    """Order-independent AVG(double) -> double: exact decimal sum / count."""
-    return F.sum(col.cast(_DEC)).cast("double") / F.count(col)
+    """Order-independent AVG(double) -> double."""
+    return dsum(col) / F.count(col)
 
 
 def sql_davg(expr: str) -> str:
@@ -51,20 +70,20 @@ def sql_davg(expr: str) -> str:
 def dstddev_samp(col: Column) -> Column:
     """Order-independent sample stddev; NULL for n<=1 (DuckDB semantics).
 
-    var = (sum(x^2) - sum(x)^2/n) / (n-1), with both sums decimal-exact and
-    the closing arithmetic in DOUBLE using the same expression shape as the
-    SQL twin, so every IEEE operation matches bit-for-bit.
+    var = (sum(x²) - sum(x)²/n) / (n-1), both sums fixed-point-exact, the
+    closing arithmetic in DOUBLE with the same expression shape as the SQL
+    twin so every IEEE operation matches bit-for-bit.
     """
     n = F.count(col)
-    s1 = F.sum(col.cast(_DEC)).cast("double")
-    s2 = F.sum((col * col).cast(_DEC)).cast("double")
+    s1 = dsum(col)
+    s2 = dsum(col * col)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     return F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None).cast("double"))
 
 
 def sql_dstddev_samp(expr: str) -> str:
     s1 = sql_dsum(expr)
-    s2 = f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL(38,{_SCALE}))) AS DOUBLE)"
+    s2 = sql_dsum(f"({expr}) * ({expr})")
     n = f"COUNT({expr})"
     var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
     return f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, 0.0)) ELSE NULL END)"

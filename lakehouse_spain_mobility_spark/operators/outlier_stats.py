@@ -76,9 +76,14 @@ def sigma_filtered_stats_window(
     w = Window.partitionBy(*keys)
     # Aggregate-over-window must be applied per aggregate function; the
     # composite davg/dstd helpers are arithmetic over aggregates, so build
-    # the moments explicitly and close the math outside the window.
-    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
-    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    # the fixed-point moments explicitly (mirroring functions/deterministic)
+    # and close the math outside the window.
+    scale = F.lit(1000000.0)
+    s1 = F.sum(F.round(v * scale).cast("decimal(38,0)")).over(w).cast("string").cast("double") / scale
+    s2 = (
+        F.sum(F.round((v * v) * scale).cast("decimal(38,0)")).over(w).cast("string").cast("double")
+        / scale
+    )
     n = F.count(v).over(w)
     var = (s2 - s1 * s1 / n) / (n - F.lit(1))
     sigma = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None).cast("double"))
