@@ -1,0 +1,121 @@
+"""Lakehouse table utilities: a parquet-backed warehouse with the
+reference's idempotency patterns (SURVEY §1.5).
+
+The reference stores tables as Parquet-on-S3 under a DuckLake catalog
+(dags/ducklake_utils.py:7-9,31-141). Here a ``Warehouse`` maps table name →
+``<root>/<name>`` parquet directory (Delta would slot in transparently —
+its jars aren't in this image, so writes use parquet + dynamic partition
+overwrite, which reproduces the reference's per-date DELETE+INSERT unit,
+dags/mitma/silver_mitma.py:108,119-140).
+
+Update patterns implemented:
+- ``create_if_not_exists``  → K1 (dags/mitma/bronze_mitma.py:7-26)
+- ``append``                → K2 (INSERT INTO ... SELECT)
+- ``create_or_replace``     → K3 (CREATE OR REPLACE TABLE ... AS)
+- ``replace_partition``     → K4 (DELETE FROM ... WHERE date = X + insert)
+- ``drop_if_exists``        → K6 (DROP TABLE IF EXISTS)
+- ``skip_if_present``       → the count-check guards
+  (dags/mitma/bronze_mitma.py:38-47, dags/mitma/silver_mitma.py:17-24)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    # --- catalog introspection (S6: information_schema / PRAGMA table_info
+    # / duckdb_columns — dags/ducklake_utils.py:152-158, get_shema.py:14) ---
+    def table_exists(self, name: str) -> bool:
+        p = self.path(name)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" or f.startswith("date=")
+            for f in os.listdir(p)
+        )
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    def columns(self, name: str) -> list[str]:
+        """PRAGMA table_info equivalent — drives the reference's runtime
+        column-fallback logic
+        (dags/bussiness_layer/transform_gold_long_trip_dependency.py:22-33)."""
+        return self.read(name).columns
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    # --- sinks -------------------------------------------------------------
+    def create_if_not_exists(self, name: str, schema: T.StructType, partition_by: list[str] | None = None) -> None:
+        if not self.table_exists(name):
+            empty = self.spark.createDataFrame([], schema)
+            w = empty.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self.path(name))
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def create_or_replace(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def replace_partition(self, name: str, df: DataFrame, partition_col: str) -> None:
+        """Delete-then-insert per partition key: dynamic partition overwrite
+        only rewrites the partitions present in ``df`` — the Delta
+        ``replaceWhere`` / reference DELETE+INSERT unit of atomicity."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(self.path(name))
+        )
+
+    def drop_if_exists(self, name: str) -> None:
+        p = self.path(name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    # --- idempotency guards -------------------------------------------------
+    def count_where(self, name: str, predicate) -> int:
+        if not self.table_exists(name):
+            return 0
+        return self.read(name).filter(predicate).count()
+
+    def skip_if_present(self, name: str, predicate) -> bool:
+        """True → data for this key already loaded, caller should skip
+        (dags/mitma/bronze_mitma.py:38-47)."""
+        return self.count_where(name, predicate) > 0
+
+    def update_where(self, name: str, predicate, assignments: dict) -> None:
+        """UPDATE ... SET ... WHERE (K5, dags/mitma/gold_mitma.py:103-107):
+        read-modify-overwrite; with Delta this becomes a native UPDATE."""
+        df = self.read(name)
+        out = df
+        for col, value in assignments.items():
+            out = out.withColumn(col, F.when(predicate, value).otherwise(F.col(col)))
+        out_cached = out.cache()
+        out_cached.count()
+        self.create_or_replace(name, out_cached)
+        out_cached.unpersist()

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines: exact (hash),
+n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+All pure column expressions / relational composition — no UDFs. The hash
+family is md5-based (identical across engines, so every operator is
+oracle-checkable; at 100 TB you'd swap in xxhash64 for speed — the
+structure is unchanged).
+
+Scale design:
+- shingle explosion is linear in corpus token count; the shingle→doc join
+  is the classic MinHash/LSH candidate-generation shuffle, bounded by
+  band-bucket sizes rather than O(n²);
+- the full pairwise Jaccard operator exists as the verification step over
+  LSH candidates (and as an oracle for small data);
+- SimHash reduces each doc to a 16-bit int; the pair scan uses
+  bit_count(xor) which stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import text_analysis as ta
+
+HEX = "0123456789abcdef"
+
+
+# --- shingling --------------------------------------------------------------
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word-k-gram shingles per document: (doc_id, shingle)."""
+    norm = ta.normalize_text(F.col(text_col))
+    toks = df.select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("tokens"))
+    toks = toks.filter(F.size("tokens") >= k)
+    sh = F.expr(
+        f"transform(sequence(0, size(tokens)-{k}), i -> concat_ws(' ', slice(tokens, i+1, {k})))"
+    )
+    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def sql_shingles(table: str, id_col: str, text_col: str, k: int = 3) -> str:
+    norm = ta.sql_normalize_text(text_col)
+    toks = f"string_split({norm}, ' ')"
+    return f"""
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT {id_col} AS doc_id,
+               unnest(list_transform(generate_series(1, len({toks}) - {k - 1}),
+                      i -> array_to_string(({toks})[i:i + {k - 1}], ' '))) AS shingle
+        FROM {table}
+        WHERE len({toks}) >= {k}
+    )"""
+
+
+# --- exact dedup ------------------------------------------------------------
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: fingerprint → (representative, copies)."""
+    fp = ta.fingerprint_md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def sql_exact_dedup_groups(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT {ta.sql_fingerprint_md5(text_col)} AS fingerprint,
+           MIN({id_col}) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM {table} GROUP BY 1"""
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Pairwise Jaccard over a (doc_id, shingle) set frame.
+
+    O(Σ per-shingle doc-count²) via the shingle join — this is the
+    *verification* path; candidate generation at scale is minhash_lsh.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    j = F.col("intersection").cast("double") / (F.col("n1") + F.col("n2") - F.col("intersection"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .select("d1", "d2", "intersection", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def sql_jaccard_pairs(shingles_sql: str, min_jaccard: float = 0.0) -> str:
+    return f"""
+    WITH sh AS ({shingles_sql}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS intersection
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2, intersection,
+           (CAST(intersection AS DOUBLE) / (s1.n + s2.n - intersection)) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON inter.d1 = s1.doc_id
+    JOIN sizes s2 ON inter.d2 = s2.doc_id
+    WHERE (CAST(intersection AS DOUBLE) / (s1.n + s2.n - intersection)) >= {min_jaccard}"""
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+N_HASHES = 8
+N_BANDS = 2
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """Per-doc MinHash signature: for each seed, the min md5-prefix of
+    seed-salted shingles (lexicographic min of hex ≡ numeric min)."""
+    aggs = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")).cast("binary")), 1, 8)
+        ).alias(f"sig{s}")
+        for s in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def sql_minhash_signatures(shingles_sql: str) -> str:
+    aggs = ", ".join(
+        f"MIN(substring(md5('{s}:' || shingle), 1, 8)) AS sig{s}" for s in range(N_HASHES)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({shingles_sql}) GROUP BY doc_id"
+
+
+def lsh_bands(signatures: DataFrame) -> DataFrame:
+    """Banding: (doc_id, band_idx, band_val) — docs sharing a band value
+    are candidate near-duplicates."""
+    parts = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        parts.append(
+            signatures.select(
+                "doc_id", F.lit(b).alias("band_idx"), F.concat(*cols).alias("band_val")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_lsh_bands(signatures_sql: str) -> str:
+    selects = []
+    for b in range(N_BANDS):
+        cat = " || ".join(f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        selects.append(f"SELECT doc_id, {b} AS band_idx, ({cat}) AS band_val FROM sigs")
+    return f"WITH sigs AS ({signatures_sql})\n" + "\nUNION ALL\n".join(selects)
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Bucket self-join → candidate pairs with shared-band counts."""
+    a = bands.select(F.col("doc_id").alias("d1"), "band_idx", "band_val")
+    b = bands.select(F.col("doc_id").alias("d2"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def sql_lsh_candidate_pairs(bands_sql: str) -> str:
+    return f"""
+    WITH bands AS ({bands_sql})
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    GROUP BY 1, 2"""
+
+
+# --- SimHash ----------------------------------------------------------------
+N_SIMHASH_BITS = 16
+
+
+def _bit_exprs_spark(hex_col: str) -> list:
+    """±1 contribution expressions for each of the 16 bits of a token's
+    md5-derived value (4 hex chars → 16 bits)."""
+    out = []
+    for b in range(N_SIMHASH_BITS):
+        pos = b // 4 + 1  # 1-based hex char index
+        k = b % 4
+        v = f"(instr('{HEX}', substring({hex_col}, {pos}, 1)) - 1)"
+        out.append(F.expr(f"(2 * (({v} div {2 ** k}) % 2) - 1)"))
+    return out
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc 16-bit SimHash over distinct normalized tokens."""
+    norm = ta.normalize_text(F.col(text_col))
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(norm, " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+        .withColumn("h", F.md5(F.col("token").cast("binary")))
+    )
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(e).alias(f"s{b}") for b, e in enumerate(_bit_exprs_spark("h"))]
+    )
+    fp = None
+    for b in range(N_SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def sql_simhash_fingerprints(table: str, id_col: str, text_col: str) -> str:
+    norm = ta.sql_normalize_text(text_col)
+    bit_sums = []
+    for b in range(N_SIMHASH_BITS):
+        pos = b // 4 + 1
+        k = b % 4
+        v = f"(instr('{HEX}', substring(h, {pos}, 1)) - 1)"
+        bit_sums.append(f"SUM(2 * ((({v}) // {2 ** k}) % 2) - 1) AS s{b}")
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(N_SIMHASH_BITS))
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT {id_col} AS doc_id, unnest(string_split({norm}, ' ')) AS token
+        FROM {table}
+    ),
+    hashed AS (SELECT doc_id, md5(token) AS h FROM toks WHERE token <> ''),
+    sums AS (SELECT doc_id, {', '.join(bit_sums)} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"""
+
+
+def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All-pairs Hamming scan over the 16-bit fingerprints (bit_count of
+    xor stays in codegen; at scale, pre-bucket by fingerprint bytes)."""
+    a = fingerprints.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"))
+    b = fingerprints.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.expr("CAST(bit_count(f1 ^ f2) AS INTEGER)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def sql_simhash_pairs(fingerprints_sql: str, max_hamming: int = 3) -> str:
+    return f"""
+    WITH fps AS ({fingerprints_sql})
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""

@@ -1,1 +1,135 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis queries over the ``documents`` table + JSON props over
+``events`` — the training-data-pipeline text surface (language ID, quality
+scoring, token counting, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..operators import text_analysis as ta
+from . import QuerySpec, register
+from .tables import load
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) rolled up per source."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        ta.word_count(t).alias("n_words"),
+        ta.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+    )
+
+
+_TOKEN_STATS_SQL = f"""
+WITH per_doc AS (
+    SELECT doc_id, source,
+           {ta.sql_word_count('text')} AS n_words,
+           {ta.sql_bpe_token_count('text')} AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars
+FROM per_doc
+GROUP BY source
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID vs the labelled ``lang`` column —
+    confusion-matrix-style rollup."""
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", ta.predicted_lang(F.col("text")).alias("predicted_lang"))
+    return scored.groupBy("lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+
+
+_LANG_ID_SQL = f"""
+SELECT lang, {ta.sql_predicted_lang('text')} AS predicted_lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score (top 100 worst docs
+    — the filtering shortlist a data pipeline would drop)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    feats = ta.quality_features(t)
+    return (
+        d.select(
+            "doc_id",
+            feats["n_words"].alias("n_words"),
+            feats["avg_word_len"].alias("avg_word_len"),
+            feats["punct_ratio"].alias("punct_ratio"),
+            feats["stopword_ratio"].alias("stopword_ratio"),
+            ta.quality_score(t).alias("quality_score"),
+        )
+        .orderBy("quality_score", "doc_id")
+        .limit(100)
+    )
+
+
+_F = ta.sql_quality_features("text")
+_QUALITY_SCORES_SQL = f"""
+SELECT doc_id,
+       {_F['n_words']} AS n_words,
+       {_F['avg_word_len']} AS avg_word_len,
+       {_F['punct_ratio']} AS punct_ratio,
+       {_F['stopword_ratio']} AS stopword_ratio,
+       {ta.sql_quality_score('text')} AS quality_score
+FROM documents
+ORDER BY quality_score, doc_id
+LIMIT 100
+"""
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column of events and aggregate per event_type."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(k).cast("bigint").alias("n_with_k"),
+        davg(k).alias("avg_k"),
+        dsum(k).alias("sum_k"),
+    )
+
+
+_JSON_PROPS_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(CAST(props->>'$.k' AS DOUBLE)) AS BIGINT) AS n_with_k,
+       {sql_davg("CAST(props->>'$.k' AS DOUBLE)")} AS avg_k,
+       {sql_dsum("CAST(props->>'$.k' AS DOUBLE)")} AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+for _spec in [
+    QuerySpec("token_stats", q_token_stats, _TOKEN_STATS_SQL, "TXT-tokens", True,
+              "Whitespace + BPE-ish token counting rolled up per source"),
+    QuerySpec("lang_id", q_lang_id, _LANG_ID_SQL, "TXT-langid", False,
+              "Stopword-heuristic language identification confusion rollup"),
+    QuerySpec("quality_scores", q_quality_scores, _QUALITY_SCORES_SQL, "TXT-quality", False,
+              "Document quality features + composite score shortlist"),
+    QuerySpec("json_props_rollup", q_json_props_rollup, _JSON_PROPS_SQL, "TXT-json", False,
+              "JSON field extraction + per-type aggregation over events"),
+]:
+    register(_spec)
