@@ -43,7 +43,7 @@ def sql_day_type(ts_expr: str) -> str:
 
 def spanish_decimal(col: Column) -> Column:
     """Parse '1.234,56' → 1234.56 (dags/Economy/transform_silver_economy.py:48-50)."""
-    return F.try_cast(F.replace(F.replace(col, F.lit("."), F.lit("")), F.lit(","), F.lit(".")), "double")
+    return F.replace(F.replace(col, F.lit("."), F.lit("")), F.lit(","), F.lit(".")).try_cast("double")
 
 
 def digits_only(col: Column) -> Column:

@@ -1,0 +1,329 @@
+"""Spatial execution without a native geometry type (SURVEY §4.3, §7.3).
+
+Geometry representation: WKT strings (polygons) + (lon, lat) DoubleType
+pairs (centroids). The ~15 ST_* functions the reference uses (§2.8) map
+to:
+- native column math: ST_Point/ST_X/ST_Y (plain doubles), distances
+  (functions/geo.py), bbox predicates;
+- this module's pure-Python geometry kernels wrapped as **Arrow-batched
+  pandas UDFs**: parsing, centroid, area, bounds, point-in-polygon,
+  polygon validity, dissolve-centroid, and the EPSG:25830 (UTM 30N) →
+  EPSG:4326 transform the geometry silver hop needs
+  (ST_Transform — dags/geometry/transform_silver_geometry.py:20,26).
+
+shapely/Sedona are optional upgrades; nothing here imports them. The
+kernels are numpy-vectorized per ring, so the UDF cost is Arrow transfer +
+O(vertices), fine for the reference's workload (thousands of polygons) —
+and the pandas-UDF plumbing (schema, batching) is exactly what a Sedona
+swap-in would replace.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- WKT parsing (POLYGON / MULTIPOLYGON / POINT, outer rings) -------------
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_POINT_RE = re.compile(rf"POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)", re.I)
+
+
+def parse_point(wkt: str) -> tuple[float, float] | None:
+    m = _POINT_RE.match(wkt.strip()) if isinstance(wkt, str) else None
+    return (float(m.group(1)), float(m.group(2))) if m else None
+
+
+def parse_polygon_rings(wkt: str) -> list[np.ndarray]:
+    """All rings of a POLYGON/MULTIPOLYGON as (n,2) arrays (outer rings
+    first per polygon; holes are parsed but the reference data has none)."""
+    if not isinstance(wkt, str):
+        return []
+    body = wkt.strip()
+    if not body.upper().startswith(("POLYGON", "MULTIPOLYGON")):
+        return []
+    rings = []
+    for ring_txt in re.findall(r"\(([^()]+)\)", body):
+        pts = []
+        for pair in ring_txt.split(","):
+            xy = pair.split()
+            if len(xy) >= 2:
+                pts.append((float(xy[0]), float(xy[1])))
+        if len(pts) >= 3:
+            rings.append(np.asarray(pts, dtype=np.float64))
+    return rings
+
+
+def polygon_to_wkt(ring: np.ndarray) -> str:
+    coords = ", ".join(f"{x:.9f} {y:.9f}" for x, y in ring)
+    return f"POLYGON (({coords}))"
+
+
+# --- geometry kernels -------------------------------------------------------
+def ring_area_centroid(ring: np.ndarray) -> tuple[float, float, float]:
+    """Shoelace signed area + area-weighted centroid of one ring."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y2 - x2 * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return 0.0, float(x.mean()), float(y.mean())
+    cx = ((x + x2) * cross).sum() / (6.0 * a)
+    cy = ((y + y2) * cross).sum() / (6.0 * a)
+    return float(a), float(cx), float(cy)
+
+
+def geom_centroid(wkt: str) -> tuple[float, float] | None:
+    """ST_Centroid over WKT (area-weighted across rings)."""
+    p = parse_point(wkt) if isinstance(wkt, str) else None
+    if p:
+        return p
+    rings = parse_polygon_rings(wkt)
+    if not rings:
+        return None
+    tot_a = cx = cy = 0.0
+    for ring in rings:
+        a, rx, ry = ring_area_centroid(ring)
+        tot_a += a
+        cx += rx * a
+        cy += ry * a
+    if tot_a == 0.0:
+        allpts = np.vstack(rings)
+        return float(allpts[:, 0].mean()), float(allpts[:, 1].mean())
+    return cx / tot_a, cy / tot_a
+
+
+def point_in_ring(lon: float, lat: float, ring: np.ndarray) -> bool:
+    """Ray-casting point-in-polygon."""
+    x, y = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x, -1), np.roll(y, -1)
+    crosses = ((y > lat) != (y2 > lat)) & (
+        lon < (x2 - x) * (lat - y) / np.where(y2 - y == 0, 1e-300, y2 - y) + x
+    )
+    return bool(crosses.sum() % 2)
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    return o1 != o2 and o3 != o4
+
+
+def polygons_intersect(rings_a: list[np.ndarray], rings_b: list[np.ndarray]) -> bool:
+    """ST_Intersects: bbox reject → vertex containment → edge crossing."""
+    if not rings_a or not rings_b:
+        return False
+    a_all, b_all = np.vstack(rings_a), np.vstack(rings_b)
+    if (
+        a_all[:, 0].max() < b_all[:, 0].min()
+        or b_all[:, 0].max() < a_all[:, 0].min()
+        or a_all[:, 1].max() < b_all[:, 1].min()
+        or b_all[:, 1].max() < a_all[:, 1].min()
+    ):
+        return False
+    ra, rb = rings_a[0], rings_b[0]
+    if point_in_ring(rb[0, 0], rb[0, 1], ra) or point_in_ring(ra[0, 0], ra[0, 1], rb):
+        return True
+    for i in range(len(ra)):
+        p1, p2 = ra[i], ra[(i + 1) % len(ra)]
+        for j in range(len(rb)):
+            if _segments_intersect(p1, p2, rb[j], rb[(j + 1) % len(rb)]):
+                return True
+    return False
+
+
+def polygon_contains(rings_outer: list[np.ndarray], rings_inner: list[np.ndarray]) -> bool:
+    """ST_Contains (outer ⊇ inner): every inner vertex inside and no edge
+    crossings."""
+    if not rings_outer or not rings_inner:
+        return False
+    ra, rb = rings_outer[0], rings_inner[0]
+    if not all(point_in_ring(x, y, ra) for x, y in rb):
+        return False
+    for i in range(len(ra)):
+        p1, p2 = ra[i], ra[(i + 1) % len(ra)]
+        for j in range(len(rb)):
+            if _segments_intersect(p1, p2, rb[j], rb[(j + 1) % len(rb)]):
+                return False
+    return True
+
+
+def ring_is_valid(ring: np.ndarray) -> bool:
+    """ST_IsValid (simple-polygon check): ≥3 distinct points, nonzero
+    area, no self-intersections between non-adjacent edges."""
+    if len(ring) < 3:
+        return False
+    a, _, _ = ring_area_centroid(ring)
+    if a == 0.0:
+        return False
+    n = len(ring)
+    for i in range(n):
+        p1, p2 = ring[i], ring[(i + 1) % n]
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if _segments_intersect(p1, p2, ring[j], ring[(j + 1) % n]):
+                return False
+    return True
+
+
+# --- EPSG:25830 (ETRS89 / UTM 30N) -> EPSG:4326 -----------------------------
+# Inverse Transverse Mercator (Karney-style series truncated to n^4 — sub-mm
+# at Iberian latitudes), GRS80 ellipsoid. Replaces ST_Transform
+# (dags/geometry/transform_silver_geometry.py:20).
+_A = 6378137.0
+_F_INV = 298.257222101  # GRS80
+_K0 = 0.9996
+_E0 = 500000.0
+_LON0 = math.radians(-3.0)  # zone 30
+
+
+def utm30n_to_wgs84(easting: np.ndarray, northing: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    f = 1.0 / _F_INV
+    n = f / (2 - f)
+    A1 = _A / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+    xi = northing / (_K0 * A1)
+    eta = (easting - _E0) / (_K0 * A1)
+    beta = [
+        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
+        n**2 / 48 + n**3 / 15,
+        17 * n**3 / 480,
+    ]
+    xi_p = xi - sum(
+        b * np.sin(2 * (j + 1) * xi) * np.cosh(2 * (j + 1) * eta) for j, b in enumerate(beta)
+    )
+    eta_p = eta - sum(
+        b * np.cos(2 * (j + 1) * xi) * np.sinh(2 * (j + 1) * eta) for j, b in enumerate(beta)
+    )
+    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
+    delta = [
+        2 * n - 2 * n**2 / 3 - 2 * n**3,
+        7 * n**2 / 3 - 8 * n**3 / 5,
+        56 * n**3 / 15,
+    ]
+    phi = chi + sum(d * np.sin(2 * (j + 1) * chi) for j, d in enumerate(delta))
+    lam = _LON0 + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    return np.degrees(lam), np.degrees(phi)
+
+
+def transform_polygon_wkt_25830_to_4326(wkt: str) -> str | None:
+    rings = parse_polygon_rings(wkt)
+    if not rings:
+        p = parse_point(wkt)
+        if p:
+            lon, lat = utm30n_to_wgs84(np.array([p[0]]), np.array([p[1]]))
+            return f"POINT ({lon[0]:.9f} {lat[0]:.9f})"
+        return None
+    ring = rings[0]
+    lon, lat = utm30n_to_wgs84(ring[:, 0], ring[:, 1])
+    return polygon_to_wkt(np.column_stack([lon, lat]))
+
+
+# --- pandas UDF surface -----------------------------------------------------
+@F.pandas_udf(T.StructType([T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]))
+def st_centroid(wkt: pd.Series) -> pd.DataFrame:
+    pts = [geom_centroid(w) for w in wkt]
+    return pd.DataFrame(
+        {"lon": [p[0] if p else None for p in pts], "lat": [p[1] if p else None for p in pts]}
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def st_is_valid(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        rings = parse_polygon_rings(w)
+        out.append(bool(rings) and ring_is_valid(rings[0]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(wkt: pd.Series) -> pd.Series:
+    out = []
+    for w in wkt:
+        rings = parse_polygon_rings(w)
+        out.append(abs(ring_area_centroid(rings[0])[0]) if rings else None)
+    return pd.Series(out, dtype="float64")
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+)
+def st_bounds(wkt: pd.Series) -> pd.DataFrame:
+    rows = []
+    for w in wkt:
+        rings = parse_polygon_rings(w)
+        if rings:
+            allp = np.vstack(rings)
+            rows.append(
+                (float(allp[:, 0].min()), float(allp[:, 1].min()),
+                 float(allp[:, 0].max()), float(allp[:, 1].max()))
+            )
+        else:
+            rows.append((None, None, None, None))
+    return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
+
+
+@F.pandas_udf(T.StringType())
+def st_transform_25830_to_4326(wkt: pd.Series) -> pd.Series:
+    return pd.Series([transform_polygon_wkt_25830_to_4326(w) for w in wkt])
+
+
+def make_polygon_predicate_udf(polygon_wkt: str, predicate: str = "intersects"):
+    """Spatial predicate vs a fixed region polygon (parameterized choice,
+    P10 — dags/gravity/extract_geometry.py:22-27). The region WKT travels
+    in the UDF closure (broadcast semantics)."""
+    region = parse_polygon_rings(polygon_wkt)
+
+    @F.pandas_udf(T.BooleanType())
+    def pred(wkt: pd.Series) -> pd.Series:
+        out = []
+        for w in wkt:
+            rings = parse_polygon_rings(w)
+            if predicate == "intersects":
+                out.append(polygons_intersect(region, rings))
+            elif predicate == "contains":
+                out.append(polygon_contains(region, rings))
+            elif predicate == "within":
+                out.append(polygon_contains(rings, region))
+            else:
+                raise ValueError(predicate)
+        return pd.Series(out)
+
+    return pred
+
+
+def dissolve_centroids(df, group_cols: list[str], wkt_col: str = "geometry"):
+    """ST_Centroid(ST_Union_Agg(geom)) per group
+    (dags/gravity/create_centroids.py:12-19): for non-overlapping polygons
+    (census sections) the union's centroid equals the area-weighted
+    centroid of the parts — computed relationally, no geometry union
+    needed. Returns (group_cols..., lon, lat)."""
+    from pyspark.sql import functions as FF
+
+    parts = df.withColumn("_c", st_centroid(FF.col(wkt_col))).withColumn(
+        "_a", st_area(FF.col(wkt_col))
+    )
+    w = FF.col("_a")
+    return (
+        parts.groupBy(*group_cols)
+        .agg(
+            (FF.sum(FF.col("_c.lon") * w) / FF.sum(w)).alias("lon"),
+            (FF.sum(FF.col("_c.lat") * w) / FF.sum(w)).alias("lat"),
+        )
+    )

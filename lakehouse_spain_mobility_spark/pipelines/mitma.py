@@ -118,10 +118,10 @@ def silver_transform(wh: Warehouse, file_date: str) -> int:
     holidays = F.broadcast(wh.read(HOLIDAYS_TABLE))
     typed = bronze.select(
         F.to_date(F.col("date"), "yyyyMMdd").alias("date"),
-        F.try_cast(F.col("hour_period"), "int").alias("hour_period"),
+        F.col("hour_period").try_cast("int").alias("hour_period"),
         scalar.strip_zone_suffix(F.col("origin_zone")).alias("origin_zone"),
         scalar.strip_zone_suffix(F.col("destination_zone")).alias("destination_zone"),
-        F.try_cast(F.col("trips"), "double").alias("trips"),
+        F.col("trips").try_cast("double").alias("trips"),
     )
     cleaned = typed.filter(
         ~F.col("origin_zone").startswith("PT")
