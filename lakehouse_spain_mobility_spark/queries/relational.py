@@ -393,7 +393,56 @@ GROUP BY 1, 2
 """
 
 
+# --- Sessionization: gap-based sessions via lag + running sum ---------------
+# The batch form of streaming session windows (SURVEY guide "Common OLAP
+# patterns"); all interval math in integer microseconds so both engines
+# compare identically.
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(lag_ts)
+    new_sess = F.when(lag_ts.isNull() | (gap_us > 1800 * 1000000), F.lit(1)).otherwise(F.lit(0))
+    sess_id = F.sum(new_sess).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    sessions = ev.select("user_id", "ts", "event_id", sess_id.alias("session_id"))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("duration_sec"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) > 1800000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       (CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0) AS duration_sec
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 for _spec in [
+    QuerySpec("sessionize", q_sessionize, _SESSIONIZE_SQL, "W,S10", False,
+              "Gap-based sessionization via lag + running sum window"),
     QuerySpec("typed_projection", q_typed_projection, _TYPED_PROJECTION_SQL, "P1,P2,S4", False,
               "Bronze→silver typed projection with rename + TRY_CAST tolerance"),
     QuerySpec("filter_battery", q_filter_battery, _FILTER_BATTERY_SQL, "P3,P4,P5,P9", False,

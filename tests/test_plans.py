@@ -1,0 +1,71 @@
+"""Plan-shape contract tests: enforce the 100 TB design decisions —
+broadcasts stay broadcasts, filters reach the parquet scan, projections
+prune columns, the disjunctive join never degrades to a nested loop."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_spain_mobility_spark.plans import inspect as pi
+from lakehouse_spain_mobility_spark.queries import load_all
+from lakehouse_spain_mobility_spark.queries.tables import load
+
+from conftest import SF_DIR_ORACLE
+
+REG = load_all()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    df = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    pushed = pi.pushed_filters(df)
+    assert any("l_quantity" in p for p in pushed), pushed
+
+
+def test_column_pruning_two_column_projection(spark):
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    schemas = pi.read_schemas(df)
+    assert schemas and all(
+        set(s.split(",")) <= {"l_orderkey:bigint", "l_quantity:double"} for s in schemas
+    ), schemas
+
+
+def test_multiway_join_all_broadcast(spark):
+    """J2: every dim join must be a BroadcastHashJoin — the fact side never
+    shuffles for dimension joins."""
+    df = REG["multiway_left_join"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 3
+    assert pi.count_sortmerge_joins(df) == 0
+
+
+def test_disjunctive_join_is_not_nested_loop(spark):
+    """J4 rewrite contract: the OR-join must plan as two hash joins + union,
+    never BroadcastNestedLoopJoin (SURVEY §4.3)."""
+    df = REG["disjunctive_join"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_nested_loop_joins(df) == 0
+    assert pi.count_broadcast_joins(df) >= 2
+
+
+def test_gravity_dims_broadcast(spark):
+    df = REG["gravity_analysis"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 3
+    # allowed nested-loops: the 25×25 nation distance cross join, the 1-row
+    # k attach, and AQE's view of the reused distance exchange — never the
+    # fact-side joins
+    assert pi.count_nested_loop_joins(df) <= 3
+
+
+def test_typical_day_single_shuffle_before_agg(spark):
+    """Window form: one hash-partition exchange feeds both the window and
+    the final aggregation (vs 2 scans + 3 exchanges for the join form)."""
+    df = REG["typical_day"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_shuffles(df) == 1
+    assert pi.has_whole_stage_codegen(df)  # final (AQE-resolved) plan
+
+
+def test_events_scan_prunes_unused_columns(spark):
+    df = REG["typical_day"].build(spark, SF_DIR_ORACLE)
+    schemas = pi.read_schemas(df)
+    # props/event_id never read
+    assert schemas and all("props" not in s and "event_id" not in s for s in schemas), schemas
