@@ -1,0 +1,78 @@
+"""Report/visualization edge tests over the fixture warehouse."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import fixtures as fx
+from lakehouse_spain_mobility_spark.catalog import Warehouse
+from lakehouse_spain_mobility_spark.pipelines import geometry, gravity_bq, mitma, reports
+from lakehouse_spain_mobility_spark.pipelines import economy, population
+from lakehouse_spain_mobility_spark.sources.csv import read_csv_inferred
+
+
+@pytest.fixture(scope="module")
+def wh(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("wh_reports"))
+    wh = Warehouse(spark, root)
+    daily = {
+        d: spark.createDataFrame(rows, mitma.BRONZE_COLUMNS)
+        for d, rows in fx.mitma_bronze_rows().items()
+    }
+    mitma.run_pipeline(spark, wh, daily)
+    shapes = spark.createDataFrame(fx.geometry_rows(), fx.GEOMETRY_COLUMNS)
+    geometry.ingest_bronze(wh, shapes, fx.YEAR)
+    geometry.silver_transform(wh, fx.YEAR, already_wgs84=True)
+    region = fx.square_wkt(fx.GRID_ORIGIN[0] - 0.01, fx.GRID_ORIGIN[1] - 0.01, 0.6)
+    geometry.extract_gold_region(wh, region, fx.YEAR)
+    eco_csv = tmp_path_factory.mktemp("csv") / "economy.csv"
+    eco_csv.write_text("\n".join(fx.economy_csv_rows()), encoding="utf-8")
+    economy.ingest_bronze(wh, read_csv_inferred(spark, str(eco_csv)), fx.YEAR)
+    economy.silver_transform(wh, fx.YEAR)
+    pop_csv = tmp_path_factory.mktemp("csv2") / "population.csv"
+    pop_csv.write_text("\n".join(fx.population_csv_rows()), encoding="utf-8")
+    population.ingest_bronze(wh, read_csv_inferred(spark, str(pop_csv)), fx.YEAR)
+    population.silver_transform(wh, fx.YEAR)
+    gravity_bq.run_gravity_pipeline(wh, fx.YEAR)
+    return wh
+
+
+def test_district_report_artifacts(wh, tmp_path):
+    district = fx.MUNI_CODES[0] + "01"
+    arts = reports.generate_district_report(wh, district, str(tmp_path))
+    assert os.path.exists(arts["csv"]) and os.path.exists(arts["markdown"])
+    md = open(arts["markdown"], encoding="utf-8").read()
+    assert district in md and "peak hour" in md
+    # zone ids are section ids (district prefix) → the OR-join must match
+    csv = open(arts["csv"], encoding="utf-8").read().strip().splitlines()
+    assert len(csv) > 1, "report frame empty — disjunctive join matched nothing"
+
+
+def test_district_report_optional_year_probe(wh, tmp_path):
+    district = fx.MUNI_CODES[0] + "01"
+    frame_with_year = reports.district_report_frame(wh, district, year=fx.YEAR)
+    frame_wrong_year = reports.district_report_frame(wh, district, year=1999)
+    assert frame_with_year.count() > 0
+    assert frame_wrong_year.count() == 0
+
+
+def test_ranking_map_html(wh, tmp_path):
+    out = reports.ranking_map_html(wh, str(tmp_path / "map.html"))
+    html = open(out, encoding="utf-8").read()
+    assert "FeatureCollection" in html and "leaflet" in html.lower()
+    payload = html.split("var data = ", 1)[1].split(";\nvar map", 1)[0]
+    gj = json.loads(payload)
+    assert len(gj["features"]) > 0
+    assert all(f["geometry"]["coordinates"][0] for f in gj["features"])
+
+
+def test_schema_dump(wh, tmp_path):
+    out = reports.dump_schemas_csv(wh, str(tmp_path / "schemas.csv"))
+    lines = open(out, encoding="utf-8").read().strip().splitlines()
+    assert lines[0] == "table,column,type"
+    tables = {l.split(",")[0] for l in lines[1:]}
+    assert "gold_typical_day_patterns" in tables and "silver_mobility_trips" in tables
