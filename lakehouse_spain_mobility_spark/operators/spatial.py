@@ -159,6 +159,10 @@ def polygon_contains(rings_outer: list[np.ndarray], rings_inner: list[np.ndarray
 def ring_is_valid(ring: np.ndarray) -> bool:
     """ST_IsValid (simple-polygon check): ≥3 distinct points, nonzero
     area, no self-intersections between non-adjacent edges."""
+    # WKT rings repeat the first vertex as the closer — drop it, or the
+    # degenerate last edge makes adjacent edges look self-intersecting.
+    if len(ring) >= 2 and bool(np.all(ring[0] == ring[-1])):
+        ring = ring[:-1]
     if len(ring) < 3:
         return False
     a, _, _ = ring_area_centroid(ring)

@@ -1,0 +1,123 @@
+"""Source connectors (shapefile binary round-trip, CSV modes, URL
+generation) and spatial kernel correctness (UTM transform vs known
+coordinates, centroid/area/point-in-polygon/validity)."""
+
+from __future__ import annotations
+
+import datetime
+import struct
+
+import numpy as np
+import pytest
+
+from lakehouse_spain_mobility_spark.operators import spatial
+from lakehouse_spain_mobility_spark.sources import shapefile as shp
+from lakehouse_spain_mobility_spark.sources.csv import read_csv_all_varchar, read_csv_inferred
+from lakehouse_spain_mobility_spark.sources.http import mitma_daily_urls
+
+
+def _write_test_shapefile(base_path: str, polys: list[list[tuple[float, float]]], attrs: list[dict]):
+    """Emit a minimal polygon .shp + .dbf pair (the writer mirror of the
+    reader — independent structs, so a reader bug can't self-cancel)."""
+    records = b""
+    for i, ring in enumerate(polys):
+        pts = ring + [ring[0]]
+        xs, ys = [p[0] for p in pts], [p[1] for p in pts]
+        content = struct.pack("<i", 5)
+        content += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<ii", 1, len(pts))
+        content += struct.pack("<i", 0)
+        for x, y in pts:
+            content += struct.pack("<dd", x, y)
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    xs = [p[0] for ring in polys for p in ring]
+    ys = [p[1] for ring in polys for p in ring]
+    header = struct.pack(">iiiiiii", 9994, 0, 0, 0, 0, 0, (100 + len(records)) // 2)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack("<8d", min(xs), min(ys), max(xs), max(ys), 0, 0, 0, 0)
+    with open(base_path + ".shp", "wb") as f:
+        f.write(header + records)
+
+    fields = [(k, 10) for k in attrs[0]]
+    record_len = 1 + sum(fl for _, fl in fields)
+    dbf_header = struct.pack(
+        "<BBBBihh20x", 3, 24, 1, 1, len(attrs), 33 + 32 * len(fields), record_len
+    )
+    fdesc = b""
+    for name, flen in fields:
+        fdesc += struct.pack("<11sc4xBB14x", name.encode(), b"C", flen, 0)
+    body = b""
+    for rec in attrs:
+        body += b" " + b"".join(str(rec[k]).ljust(10)[:10].encode() for k, _ in fields)
+    with open(base_path + ".dbf", "wb") as f:
+        f.write(dbf_header + fdesc + b"\x0d" + body + b"\x1a")
+
+
+def test_shapefile_round_trip(spark, tmp_path):
+    base = str(tmp_path / "sections")
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    tri = [(2.0, 2.0), (3.0, 2.0), (2.5, 3.0)]
+    _write_test_shapefile(
+        base, [square, tri],
+        [{"CUSEC": "4625001001", "CUMUN": "46250"}, {"CUSEC": "4625101001", "CUMUN": "46251"}],
+    )
+    df = shp.read_shapefile(spark, base + ".shp")
+    rows = {r["CUSEC"]: r for r in df.collect()}
+    assert set(rows) == {"4625001001", "4625101001"}
+    assert rows["4625001001"]["geom"].startswith("POLYGON")
+    rings = spatial.parse_polygon_rings(rows["4625001001"]["geom"])
+    assert len(rings) == 1 and len(rings[0]) == 5
+    a, cx, cy = spatial.ring_area_centroid(rings[0])
+    assert abs(abs(a) - 1.0) < 1e-9 and abs(cx - 0.5) < 1e-9 and abs(cy - 0.5) < 1e-9
+
+
+def test_csv_modes(spark, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a;b;c\n1;x;2.5\nbad;;row\n3;y;4.0\n", encoding="utf-8")
+    allv = read_csv_all_varchar(spark, str(p), sep=";")
+    assert all(f.dataType.simpleString() == "string" for f in allv.schema.fields)
+    inf = read_csv_inferred(spark, str(p), sep=";")
+    assert inf.count() == 3  # bad row survives as strings or nulls per inference
+    assert dict(inf.dtypes)["b"] == "string"
+
+
+def test_mitma_url_generation():
+    urls = mitma_daily_urls(
+        datetime.date(2023, 2, 1),
+        datetime.date(2023, 2, 3),
+        "https://example.org/{yyyymm}/{yyyymmdd}_trips.csv.gz",
+    )
+    assert urls == [
+        "https://example.org/202302/20230201_trips.csv.gz",
+        "https://example.org/202302/20230202_trips.csv.gz",
+        "https://example.org/202302/20230203_trips.csv.gz",
+    ]
+
+
+def test_utm30n_transform_known_point():
+    """Puerta del Sol, Madrid: UTM30N ETRS89 ≈ (440300 E, 4474220 N) →
+    WGS84 ≈ (-3.7036, 40.4168); series accuracy well under 1e-6 deg."""
+    lon, lat = spatial.utm30n_to_wgs84(np.array([440300.0]), np.array([4474220.0]))
+    assert abs(lon[0] - -3.7036) < 0.002
+    assert abs(lat[0] - 40.4168) < 0.002
+
+
+def test_point_in_polygon_and_validity():
+    square = spatial.parse_polygon_rings("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")[0]
+    assert spatial.point_in_ring(1.0, 1.0, square)
+    assert not spatial.point_in_ring(3.0, 1.0, square)
+    assert spatial.ring_is_valid(square)
+    bowtie = spatial.parse_polygon_rings("POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))")[0]
+    assert not spatial.ring_is_valid(bowtie)
+
+
+def test_polygon_predicates():
+    big = spatial.parse_polygon_rings("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    small = spatial.parse_polygon_rings("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")
+    far = spatial.parse_polygon_rings("POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))")
+    overlap = spatial.parse_polygon_rings("POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))")
+    assert spatial.polygon_contains(big, small)
+    assert not spatial.polygon_contains(big, overlap)
+    assert spatial.polygons_intersect(big, small)
+    assert spatial.polygons_intersect(big, overlap)
+    assert not spatial.polygons_intersect(big, far)
