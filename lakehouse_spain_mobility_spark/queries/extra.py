@@ -1,0 +1,178 @@
+"""Extended operator coverage beyond the reference's own surface:
+as-of join, rollup/cube, pandas-bridge dim join (S5), native spatial
+aggregates/predicates (A9 fallback, P10 bbox)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from . import QuerySpec, register
+from .tables import load
+
+
+# --- As-of join: purchase → most recent preceding view per user -------------
+# Spark lacks a native as-of join (SURVEY guide "Common OLAP patterns");
+# implemented as the union-tag + running last_value(ignoreNulls) pattern —
+# one shuffle on user_id, no range explosion. Oracle: DuckDB's native
+# ASOF JOIN proves the semantics.
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("purchase_id"), F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ts"), F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_id"), F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    tagged = views.unionByName(purchases)
+    w = Window.partitionBy("user_id").orderBy("ts", "is_purchase").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    attributed = tagged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+    return attributed.filter(F.col("is_purchase") == 1).select(
+        "purchase_id",
+        "user_id",
+        (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_view_ts"))).cast("double")
+            / F.lit(1000000.0)
+        ).alias("secs_since_view"),
+    )
+
+
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       (CAST(epoch_us(p.ts) - epoch_us(v.ts) AS DOUBLE) / 1000000.0) AS secs_since_view
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# --- ROLLUP with grouping ids ----------------------------------------------
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+# --- S5: in-memory pandas registration bridged into a join ------------------
+# (con.register("df_holidays", df) — dags/mitma/silver_mitma.py:39-51.)
+_DAY_LABELS = [
+    (0, "Sunday"), (1, "Monday"), (2, "Tue-Thu"), (5, "Friday"), (6, "Saturday"), (8, "Holiday"),
+]
+
+
+def q_pandas_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .core import q_typical_day
+
+    labels = spark.createDataFrame(
+        pd.DataFrame(_DAY_LABELS, columns=["day_type", "day_label"])
+    )
+    gold = q_typical_day(spark, sf_dir)
+    return (
+        gold.join(F.broadcast(labels), "day_type")
+        .groupBy("day_label")
+        .agg(
+            F.count("*").alias("n_patterns"),
+            dsum(F.col("total_trips")).alias("total_trips"),
+        )
+    )
+
+
+def _labels_values_sql() -> str:
+    vals = ", ".join(f"({dt}, '{lbl}')" for dt, lbl in _DAY_LABELS)
+    return f"(VALUES {vals}) AS labels(day_type, day_label)"
+
+
+from .core import _TYPICAL_DAY_SQL  # noqa: E402
+
+_PANDAS_DIM_SQL = f"""
+WITH gold AS ({_TYPICAL_DAY_SQL})
+SELECT day_label,
+       COUNT(*) AS n_patterns,
+       {sql_dsum('total_trips')} AS total_trips
+FROM gold JOIN {_labels_values_sql()} ON gold.day_type = labels.day_type
+GROUP BY day_label
+"""
+
+
+# --- A9 fallback: centroid-of-centroids as plain aggregation ----------------
+# ST_Point(AVG(ST_X(c)), AVG(ST_Y(c)))
+# (dags/bussiness_layer/transform_gold_long_trip_dependency.py:73-82).
+def q_centroid_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .gravity import _centroids
+
+    cen = _centroids(spark, sf_dir)
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    return (
+        cen.join(F.broadcast(n), cen.code == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(
+            davg(F.col("lon")).alias("centroid_lon"),
+            davg(F.col("lat")).alias("centroid_lat"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+from .gravity import _CENTROIDS_SQL  # noqa: E402
+
+_CENTROID_FALLBACK_SQL = f"""
+WITH centroids AS ({_CENTROIDS_SQL})
+SELECT n_regionkey,
+       {sql_davg('lon')} AS centroid_lon,
+       {sql_davg('lat')} AS centroid_lat,
+       COUNT(*) AS n_members
+FROM centroids JOIN nation ON centroids.code = nation.n_nationkey
+GROUP BY n_regionkey
+"""
+
+
+# --- P10 native: bbox containment predicate ---------------------------------
+def q_bbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .gravity import _centroids
+
+    cen = _centroids(spark, sf_dir)
+    return cen.filter(
+        F.col("lon").between(-3.0, -1.0) & F.col("lat").between(40.5, 41.8)
+    ).orderBy("code")
+
+
+_BBOX_SQL = f"""
+WITH centroids AS ({_CENTROIDS_SQL})
+SELECT * FROM centroids
+WHERE lon BETWEEN -3.0 AND -1.0 AND lat BETWEEN 40.5 AND 41.8
+ORDER BY code
+"""
+
+
+for _spec in [
+    QuerySpec("asof_join", q_asof_join, _ASOF_SQL, "J-asof", True,
+              "As-of attribution join (union-tag + running last_value)"),
+    QuerySpec("rollup_grouping", q_rollup_cube, _ROLLUP_SQL, "A-rollup", False,
+              "ROLLUP with grouping ids"),
+    QuerySpec("pandas_dim_join", q_pandas_dim_join, _PANDAS_DIM_SQL, "S5", False,
+              "In-memory pandas dim registered and broadcast-joined"),
+    QuerySpec("centroid_fallback", q_centroid_fallback, _CENTROID_FALLBACK_SQL, "A9", False,
+              "Centroid-of-centroids spatial aggregate fallback"),
+    QuerySpec("bbox_extract", q_bbox_extract, _BBOX_SQL, "P10", False,
+              "Native bbox containment predicate"),
+]:
+    register(_spec)
