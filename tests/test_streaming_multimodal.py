@@ -80,3 +80,24 @@ def test_multimodal_metadata_pruning(spark):
     assert ("image", "png") in rows and ("video", "mp4") in rows
     assert rows[("image", "png")]["avg_duration_ms"] is None  # images have no duration
     assert all(r["total_bytes"] > 0 for r in rows.values())
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key state accumulates across batches and
+    final totals equal the batch aggregation."""
+    from lakehouse_spain_mobility_spark.streaming import stateful as stf
+
+    staged = _stage_events(spark, tmp_path)
+    stf.run_stateful_to_memory(spark, staged, "state_smoke")
+    out = spark.sql(
+        "SELECT event_type, max(n_events) AS n, max(total_value) AS v "
+        "FROM state_smoke GROUP BY event_type"
+    )
+    batch = (
+        spark.read.parquet(staged)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    got = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in out.collect()}
+    want = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
+    assert got == want and len(got) > 0
