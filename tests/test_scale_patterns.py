@@ -1,0 +1,55 @@
+"""Scale-pattern tests: bucketed co-located joins (no shuffle), salted
+aggregation (bit-identical to unsalted), AQE skew handling config."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_spain_mobility_spark.operators.skew import salted_aggregate, unsalted_aggregate
+from lakehouse_spain_mobility_spark.plans import inspect as pi
+from lakehouse_spain_mobility_spark.queries.tables import load
+
+from conftest import SF_DIR_ORACLE
+
+
+def test_salted_aggregate_bit_identical(spark):
+    """Salting spreads hot keys over reducers; decimal associativity means
+    the merged result is byte-equal to the single-phase aggregation."""
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    a = salted_aggregate(li, ["l_returnflag", "l_linestatus"], "l_extendedprice", n_salts=8)
+    b = unsalted_aggregate(li, ["l_returnflag", "l_linestatus"], "l_extendedprice")
+    rows_a = {tuple(r[:2]): (r["total"], r["n_rows"]) for r in a.collect()}
+    rows_b = {tuple(r[:2]): (r["total"], r["n_rows"]) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) == 6
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy co-location: a join between two tables bucketed on the join
+    key plans without any Exchange — the 100 TB fact-fact join strategy."""
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    li = load(spark, SF_DIR_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR_ORACLE, "orders").select("o_orderkey", "o_totalprice")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "b_lineitem"
+    )
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        "b_orders"
+    )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+    # disable broadcast so the co-located sort-merge path is exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_shuffles = pi.count_shuffles(joined)
+        assert n_shuffles == 0, pi.executed_plan(joined)
+        assert joined.count() == 60000  # sf0.01 lineitem rows, all matched
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_aqe_skew_join_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
