@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import davg, sql_davg
@@ -75,6 +75,71 @@ LIMIT 20
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest anchor
+    (anchors = the 4 lowest-id vectors — a deterministic stand-in for
+    k-means centroids), then each query searches only its own cell.
+    Entirely relational (assign = join + row_number), so the partition
+    list, probe set, and scores are all oracle-checkable."""
+    v = _vectors(spark, sf_dir)
+    anchors = v.filter(F.col("id") < 4).select(
+        F.col("id").alias("anchor_id"), F.col("embedding").alias("a_emb")
+    )
+    scored = v.crossJoin(F.broadcast(anchors)).select(
+        "id", "embedding", "anchor_id", sim.cosine(F.col("embedding"), F.col("a_emb")).alias("a_cos")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("a_cos"), "anchor_id")
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("id", "embedding", F.col("anchor_id").alias("cell"))
+    )
+    q = assigned.filter(F.col("id") < 10).select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell"
+    )
+    c = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cell"
+    )
+    pairs = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    ranked = pairs.select(
+        "query_id", "cell", "neighbor_id",
+        sim.cosine(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "cell", "neighbor_id", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+_ANN_IVF_SQL = f"""
+WITH anchors AS (
+    SELECT vec_id AS anchor_id, embedding AS a_emb FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+    SELECT e.vec_id AS id, e.embedding, a.anchor_id,
+           {sim.sql_cosine('e.embedding', 'a.a_emb')} AS a_cos
+    FROM embeddings e CROSS JOIN anchors a
+),
+assigned AS (
+    SELECT id, embedding, anchor_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY a_cos DESC, anchor_id) AS rn
+        FROM scored
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT q.id AS query_id, q.cell, c.id AS neighbor_id,
+           {sim.sql_cosine('q.embedding', 'c.embedding')} AS cosine
+    FROM assigned q JOIN assigned c ON q.cell = c.cell AND q.id <> c.id
+    WHERE q.id < 10
+)
+SELECT query_id, cell, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM pairs
+) WHERE rank <= 5
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components via posexplode (vector averaging as a
     relational rollup — row form keeps it engine-portable)."""
@@ -103,6 +168,8 @@ for _spec in [
               "Exact cosine top-5 neighbors (brute-force baseline)"),
     QuerySpec("ann_lsh", q_ann_lsh, _ANN_LSH_SQL, "SIM-lsh", False,
               "Sign-bit LSH bucketed ANN candidate pairs"),
+    QuerySpec("ann_ivf", q_ann_ivf, _ANN_IVF_SQL, "SIM-ivf", False,
+              "IVF-style ANN: anchor-cell quantization + cell-local search"),
     QuerySpec("embedding_topk_pairs", q_embedding_topk_pairs, _EMB_TOPK_SQL, "DD-embedding", True,
               "Embedding-cosine near-dup top-20 pair shortlist"),
     QuerySpec("label_centroids", q_label_centroids, _LABEL_CENTROIDS_SQL, "SIM-centroid", False,
