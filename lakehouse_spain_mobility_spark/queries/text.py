@@ -122,7 +122,68 @@ GROUP BY event_type
 """
 
 
+# --- Winnowing document fingerprints (rolling-hash family) ------------------
+# Char-5-gram hashes, sliding-window (size 4) minima, distinct per doc —
+# the plagiarism/near-dup fingerprinting scheme, fully relational:
+# explode positions → hash gram → window-min → distinct. The md5-prefix
+# hash keeps both engines identical (xxhash64 would differ per engine).
+_WK = 5  # gram length
+_WW = 4  # winnowing window (positions)
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    norm = d.select("doc_id", F.lower(F.trim(F.col("text"))).alias("norm"))
+    grams = (
+        norm.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(1, greatest(length(norm) - {_WK - 1}, 1))")).alias("i"),
+            "norm",
+        )
+        .select(
+            "doc_id", "i",
+            F.substring(F.col("norm"), F.col("i").cast("int"), _WK).alias("gram"),
+        )
+        .withColumn("h", F.substring(F.md5(F.col("gram").cast("binary")), 1, 8))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, _WW - 1)
+    minima = grams.withColumn("fp", F.min("h").over(w))
+    fps = minima.select("doc_id", "fp").distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
+
+
+_DOC_WINNOWING_SQL = f"""
+WITH norm AS (SELECT doc_id, lower(trim(text)) AS norm FROM documents),
+positions AS (
+    SELECT doc_id, norm,
+           unnest(generate_series(1, GREATEST(length(norm) - {_WK - 1}, 1))) AS i
+    FROM norm
+),
+grams AS (
+    SELECT doc_id, i, substring(md5(substring(norm, CAST(i AS INTEGER), {_WK})), 1, 8) AS h
+    FROM positions
+),
+minima AS (
+    SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {_WW - 1} FOLLOWING) AS fp
+    FROM grams
+),
+fps AS (SELECT DISTINCT doc_id, fp FROM minima)
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp, MAX(fp) AS max_fp
+FROM fps GROUP BY doc_id
+"""
+
+
 for _spec in [
+    QuerySpec("doc_winnowing", q_doc_winnowing, _DOC_WINNOWING_SQL, "TXT-fingerprint", False,
+              "Winnowing rolling-hash document fingerprints"),
     QuerySpec("token_stats", q_token_stats, _TOKEN_STATS_SQL, "TXT-tokens", True,
               "Whitespace + BPE-ish token counting rolled up per source"),
     QuerySpec("lang_id", q_lang_id, _LANG_ID_SQL, "TXT-langid", False,
