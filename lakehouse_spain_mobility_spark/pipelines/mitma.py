@@ -12,8 +12,6 @@ idempotent re-run unit is a dynamic partition overwrite.
 
 from __future__ import annotations
 
-import datetime
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T

@@ -8,7 +8,7 @@ are thin views over this registry.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

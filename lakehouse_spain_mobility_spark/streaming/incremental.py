@@ -12,7 +12,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import Warehouse
-from ..functions.deterministic import dsum
 
 EVENTS_SCHEMA = T.StructType(
     [

@@ -139,6 +139,20 @@ def test_long_trip_pipeline_bq3(wh):
     assert out.filter(F.col("long_trips") < F.col("known_distance_trips")).count() > 0
 
 
+def test_silver_partition_pruning(wh):
+    """silver is partitioned by date (the DELETE+INSERT unit): a date
+    filter must prune partitions at the scan, not post-filter."""
+    from lakehouse_spain_mobility_spark.plans import inspect as pi
+
+    df = wh.read(mitma.SILVER_TABLE).filter(F.col("date") == fx.DATES[0][:4] + "-02-01")
+    plan = pi.executed_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "date" in pf, plan
+
+
 def test_update_where_null_repair(wh, spark):
     """K5: UPDATE ... SET std_trips = 0 WHERE std_trips IS NULL
     (dags/mitma/gold_mitma.py:103-107)."""

@@ -48,12 +48,13 @@ def test_disjunctive_join_is_not_nested_loop(spark):
 
 
 def test_gravity_dims_broadcast(spark):
-    df = REG["gravity_analysis"].build(spark, SF_DIR_ORACLE)
+    # inspect the assembly stage: gravity_analysis checkpoints it, which
+    # hides the upstream joins from the final plan
+    df = REG["gravity_data"].build(spark, SF_DIR_ORACLE)
     assert pi.count_broadcast_joins(df) >= 3
-    # allowed nested-loops: the 25×25 nation distance cross join, the 1-row
-    # k attach, and AQE's view of the reused distance exchange — never the
-    # fact-side joins
-    assert pi.count_nested_loop_joins(df) <= 3
+    # allowed nested-loop: only the 25×25 nation distance cross join —
+    # never the fact-side joins
+    assert pi.count_nested_loop_joins(df) <= 1
 
 
 def test_typical_day_single_shuffle_before_agg(spark):
