@@ -25,6 +25,10 @@ TABLE_NAMES = (
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(name)
+    # Oracle parity requires UTC timestamp semantics regardless of how the
+    # caller built the session (DuckDB timestamps are naive; a non-UTC
+    # session TZ would shift to_date()/hour() results).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
