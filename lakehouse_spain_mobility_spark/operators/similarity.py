@@ -181,6 +181,66 @@ def topk_pairs_broadcast_numpy(
     return cand.orderBy(F.desc("cosine"), "v1", "v2").limit(k)
 
 
+def knn_broadcast_numpy(
+    queries: DataFrame,  # id, embedding
+    corpus: DataFrame,  # id, embedding
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors via the broadcast-numpy kernel (same
+    dimension-sequential accumulation as :func:`topk_pairs_broadcast_numpy`,
+    so scores are bit-identical to the relational/oracle form). Tie-break:
+    (cosine desc, neighbor_id asc) — matches ROW_NUMBER ordering."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    rows = corpus.select("id", "embedding").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([rows[i]["embedding"] for i in order], dtype=np.float64)
+
+    def _seq_dot(a, b):
+        acc = a[:, 0][:, None] * b[:, 0][None, :]
+        for d in range(1, a.shape[1]):
+            acc += a[:, d][:, None] * b[:, d][None, :]
+        return acc
+
+    def _seq_sqnorm(m):
+        acc = m[:, 0] * m[:, 0]
+        for d in range(1, m.shape[1]):
+            acc += m[:, d] * m[:, d]
+        return acc
+
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def kernel(batches):
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        all_norm = np.sqrt(_seq_sqnorm(all_mat))
+        for pdf in batches:
+            q_ids = pdf["id"].to_numpy(dtype=np.int64)
+            q = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cos = _seq_dot(q, all_mat) / (np.sqrt(_seq_sqnorm(q))[:, None] * all_norm[None, :])
+            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            for i in range(len(q_ids)):
+                mask = all_ids != q_ids[i]
+                cand_ids = all_ids[mask]
+                cand_cos = cos[i, mask]
+                # full sort by (cosine desc, id asc): lexsort, last key primary
+                sel = np.lexsort((cand_ids, -cand_cos))[:k]
+                out["query_id"].extend([q_ids[i]] * len(sel))
+                out["neighbor_id"].extend(cand_ids[sel].tolist())
+                out["cosine"].extend(cand_cos[sel].tolist())
+                out["rank"].extend(range(1, len(sel) + 1))
+            yield pd.DataFrame(out)
+
+    return queries.select("id", "embedding").mapInPandas(
+        kernel, schema="query_id long, neighbor_id long, cosine double, rank int"
+    )
+
+
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """Axis-aligned LSH: concatenated sign bits of the first n dims."""
     bits = [

@@ -18,9 +18,11 @@ def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 for the first 10 vectors as queries."""
+    """Exact cosine top-5 for the first 10 vectors as queries (broadcast-
+    numpy kernel; the relational form lives in sim.knn_bruteforce and the
+    oracle SQL below proves both compute the same thing)."""
     v = _vectors(spark, sf_dir)
-    return sim.knn_bruteforce(v.filter(F.col("id") < 10), v, k=5)
+    return sim.knn_broadcast_numpy(v.filter(F.col("id") < 10), v, k=5)
 
 
 _KNN_SQL = f"""

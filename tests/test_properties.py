@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+no SparkSession needed, so these run in milliseconds."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakehouse_spain_mobility_spark.functions.holidays_es import easter_sunday, spain_holidays
+from lakehouse_spain_mobility_spark.operators import spatial
+
+
+@given(st.integers(min_value=1900, max_value=2199))
+def test_easter_always_in_valid_window(year):
+    e = easter_sunday(year)
+    assert e.weekday() == 6  # Sunday
+    assert datetime.date(year, 3, 22) <= e <= datetime.date(year, 4, 25)
+
+
+@given(st.integers(min_value=2000, max_value=2100))
+def test_holidays_distinct_and_sorted(year):
+    days = spain_holidays(year)
+    assert days == sorted(days)
+    assert len(set(days)) == len(days) == 10
+
+
+@settings(max_examples=50)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False), st.floats(-100, 100, allow_nan=False)
+        ),
+        min_size=3,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_convex_ring_centroid_inside_bbox(pts):
+    """For any simple ring built from a convex hull of points, the
+    shoelace centroid lies inside the bbox and the ring validates."""
+    arr = np.array(pts)
+    center = arr.mean(axis=0)
+    order = np.argsort(np.arctan2(arr[:, 1] - center[1], arr[:, 0] - center[0]))
+    ring = arr[order]
+    a, cx, cy = spatial.ring_area_centroid(ring)
+    if a == 0.0:  # collinear degenerate input
+        return
+    assert ring[:, 0].min() - 1e-9 <= cx <= ring[:, 0].max() + 1e-9
+    assert ring[:, 1].min() - 1e-9 <= cy <= ring[:, 1].max() + 1e-9
+
+
+@settings(max_examples=50)
+@given(
+    st.floats(100000, 900000, allow_nan=False),
+    st.floats(4000000, 4800000, allow_nan=False),
+)
+def test_utm_transform_plausible_range(easting, northing):
+    """Any in-zone UTM 30N coordinate maps into Iberian-ish lon/lat."""
+    lon, lat = spatial.utm30n_to_wgs84(np.array([easting]), np.array([northing]))
+    assert -10.0 < lon[0] < 4.0
+    assert 34.0 < lat[0] < 46.0
+    assert math.isfinite(lon[0]) and math.isfinite(lat[0])
+
+
+@settings(max_examples=30)
+@given(st.text(alphabet="ab c.d,", min_size=0, max_size=40))
+def test_wkt_parse_never_crashes_on_garbage(s):
+    assert spatial.parse_polygon_rings(s) == []
+    assert spatial.parse_point(s) is None or isinstance(spatial.parse_point(s), tuple)
