@@ -163,7 +163,54 @@ ORDER BY code
 """
 
 
+# --- §2.8 scalar-function battery -------------------------------------------
+# Every string/conditional function the reference uses, in one projection:
+# REPLACE suffix-strip, regexp digit-keep, split_part, TRIM/NULLIF,
+# LEFT/RIGHT, Spanish-locale decimal, CASE, COALESCE, TRY_CAST.
+def q_scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        F.col("c_custkey"),
+        F.regexp_replace(name, "_AM|_AD", "").alias("suffix_stripped"),
+        F.regexp_replace(name, "[^0-9]", "").alias("digits_only"),
+        F.split_part(name, F.lit("#"), F.lit(1)).alias("split_first"),
+        F.nullif(F.trim(F.col("c_mktsegment")), F.lit("MACHINERY")).alias("segment_or_null"),
+        F.substring(name, 1, 8).alias("left8"),
+        F.substring(name, -3, 3).alias("right3"),
+        F.regexp_replace(F.regexp_replace(name, "[^0-9]", ""), "^0+", "")
+        .try_cast("bigint")
+        .alias("key_from_name"),
+        F.when(F.col("c_acctbal") < 0, F.lit("NEGATIVE"))
+        .when(F.col("c_acctbal") > 5000, F.lit("HIGH"))
+        .otherwise(F.lit("NORMAL"))
+        .alias("balance_bucket"),
+        F.coalesce(F.col("c_acctbal"), F.lit(0.0)).alias("balance0"),
+    ).filter(F.col("c_custkey") < 200)
+
+
+_SCALAR_BATTERY_SQL = """
+SELECT c_custkey,
+       regexp_replace(c_name, '_AM|_AD', '', 'g') AS suffix_stripped,
+       regexp_replace(c_name, '[^0-9]', '', 'g') AS digits_only,
+       split_part(c_name, '#', 1) AS split_first,
+       NULLIF(TRIM(c_mktsegment), 'MACHINERY') AS segment_or_null,
+       left(c_name, 8) AS left8,
+       right(c_name, 3) AS right3,
+       TRY_CAST(regexp_replace(regexp_replace(c_name, '[^0-9]', '', 'g'), '^0+', '') AS BIGINT)
+           AS key_from_name,
+       CASE WHEN c_acctbal < 0 THEN 'NEGATIVE'
+            WHEN c_acctbal > 5000 THEN 'HIGH'
+            ELSE 'NORMAL' END AS balance_bucket,
+       COALESCE(c_acctbal, 0.0) AS balance0
+FROM customer
+WHERE c_custkey < 200
+"""
+
+
 for _spec in [
+    QuerySpec("scalar_battery", q_scalar_battery, _SCALAR_BATTERY_SQL, "F-scalar", False,
+              "String/conditional scalar-function battery (SURVEY §2.8)"),
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, "J-asof", True,
               "As-of attribution join (union-tag + running last_value)"),
     QuerySpec("rollup_grouping", q_rollup_cube, _ROLLUP_SQL, "A-rollup", False,
