@@ -92,6 +92,19 @@ class Warehouse:
             .parquet(self.path(name))
         )
 
+    def create_or_replace_clustered(
+        self, name: str, df: DataFrame, cluster_by: list[str], n_files: int | None = None
+    ) -> None:
+        """K3 with clustered layout: range-partition + sort-within-partitions
+        on the cluster keys, so parquet row-group min/max stats prune reads
+        on those columns (the Z-order substitute SURVEY §4.3 suggests for
+        gold tables — e.g. cluster gold_typical_day_patterns by
+        (day_type, hour_period))."""
+        cols = [F.col(c) for c in cluster_by]
+        out = df.repartitionByRange(*(([n_files] if n_files else []) + cols))
+        out = out.sortWithinPartitions(*cols)
+        out.write.mode("overwrite").parquet(self.path(name))
+
     def drop_if_exists(self, name: str) -> None:
         p = self.path(name)
         if os.path.isdir(p):

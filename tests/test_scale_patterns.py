@@ -53,3 +53,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_aqe_skew_join_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_clustered_write_layout(spark, tmp_path):
+    """create_or_replace_clustered range-partitions and sorts by the
+    cluster keys — each output file covers a narrow key range, so parquet
+    min/max stats can prune scans on those columns."""
+    from lakehouse_spain_mobility_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    li = load(spark, SF_DIR_ORACLE, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    wh.create_or_replace_clustered("clustered", li, ["l_returnflag", "l_linestatus"], n_files=4)
+    back = wh.read("clustered")
+    assert back.count() == li.count()
+    # per input file (= cluster) the key range must be narrow: every file
+    # holds at most 2 of the 6 (returnflag, linestatus) combos
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.countDistinct("l_returnflag", "l_linestatus").alias("combos"))
+    )
+    assert per_file.agg(F.max("combos")).first()[0] <= 2
