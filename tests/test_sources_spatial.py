@@ -81,6 +81,20 @@ def test_csv_modes(spark, tmp_path):
     assert dict(inf.dtypes)["b"] == "string"
 
 
+def test_csv_gzip_transparent(spark, tmp_path):
+    """S1 reads daily CSV.gz: Spark decompresses by extension, all-varchar
+    schema keeps malformed content (ignore_errors semantics)."""
+    import gzip
+
+    p = tmp_path / "day.csv.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("date,hour,zone,trips\n20230201,7,4625001001,55.5\n20230201,xx,4625001002,bad\n")
+    df = read_csv_all_varchar(spark, str(p))
+    rows = df.collect()
+    assert len(rows) == 2  # malformed values survive as strings
+    assert all(f.dataType.simpleString() == "string" for f in df.schema.fields)
+
+
 def test_mitma_url_generation():
     urls = mitma_daily_urls(
         datetime.date(2023, 2, 1),
