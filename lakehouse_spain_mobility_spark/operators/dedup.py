@@ -12,7 +12,7 @@ Scale design:
   band-bucket sizes rather than O(n²);
 - the full pairwise Jaccard operator exists as the verification step over
   LSH candidates (and as an oracle for small data);
-- SimHash reduces each doc to a 16-bit int; the pair scan uses
+- SimHash reduces each doc to a 32-bit int; the pair scan uses
   bit_count(xor) which stays in codegen.
 """
 
@@ -186,12 +186,14 @@ def sql_lsh_candidate_pairs(bands_sql: str) -> str:
 
 
 # --- SimHash ----------------------------------------------------------------
-N_SIMHASH_BITS = 16
+# 32 bits (8 md5 hex chars): 16 bits saturates with collisions beyond a few
+# hundred docs; 32 keeps Hamming<=3 discriminative at corpus scale.
+N_SIMHASH_BITS = 32
 
 
 def _bit_exprs_spark(hex_col: str) -> list:
-    """±1 contribution expressions for each of the 16 bits of a token's
-    md5-derived value (4 hex chars → 16 bits)."""
+    """±1 contribution expressions for each bit of a token's md5-derived
+    value (one hex char = 4 bits)."""
     out = []
     for b in range(N_SIMHASH_BITS):
         pos = b // 4 + 1  # 1-based hex char index
@@ -202,7 +204,7 @@ def _bit_exprs_spark(hex_col: str) -> list:
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc 16-bit SimHash over distinct normalized tokens."""
+    """Per-doc 32-bit SimHash over distinct normalized tokens."""
     norm = ta.normalize_text(F.col(text_col))
     toks = (
         df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(norm, " ")).alias("token"))
@@ -240,7 +242,7 @@ def sql_simhash_fingerprints(table: str, id_col: str, text_col: str) -> str:
 
 
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """All-pairs Hamming scan over the 16-bit fingerprints (bit_count of
+    """All-pairs Hamming scan over the fingerprints (bit_count of
     xor stays in codegen; at scale, pre-bucket by fingerprint bytes)."""
     a = fingerprints.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"))
     b = fingerprints.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"))

@@ -47,18 +47,16 @@ _DEDUP_MINHASH_SQL = dd.sql_lsh_candidate_pairs(
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over 16-bit fingerprints. Hamming ≤ 1: the
-    fixture corpus shares one small vocabulary, so looser radii match a
-    third of all pairs — with 16 bits only the tightest radius
-    discriminates (a production setup would widen to 64-bit fingerprints
-    and radius 3)."""
+    """SimHash near-dup pairs over 32-bit fingerprints at Hamming ≤ 3
+    (16 bits saturates with collisions once the corpus passes a few
+    hundred docs of shared vocabulary)."""
     d = load(spark, sf_dir, "documents")
     fps = dd.simhash_fingerprints(d, "doc_id", "text")
-    return dd.simhash_pairs(fps, max_hamming=1)
+    return dd.simhash_pairs(fps, max_hamming=3)
 
 
 _DEDUP_SIMHASH_SQL = dd.sql_simhash_pairs(
-    dd.sql_simhash_fingerprints("documents", "doc_id", "text"), max_hamming=1
+    dd.sql_simhash_fingerprints("documents", "doc_id", "text"), max_hamming=3
 )
 
 
