@@ -208,7 +208,38 @@ WHERE c_custkey < 200
 """
 
 
+# --- Exact percentiles ------------------------------------------------------
+# Spark's exact `percentile` and DuckDB's `quantile_cont` use the same
+# (1-f)·a + f·b interpolation over the sorted group, so even these match
+# bit-for-bit (approx_percentile would not — engine-specific sketches).
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+_PERCENTILE_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 for _spec in [
+    QuerySpec("percentile_summary", q_percentile_summary, _PERCENTILE_SQL, "A-quantile", False,
+              "Exact percentile battery (interpolated, engine-exact)"),
     QuerySpec("scalar_battery", q_scalar_battery, _SCALAR_BATTERY_SQL, "F-scalar", False,
               "String/conditional scalar-function battery (SURVEY §2.8)"),
     QuerySpec("asof_join", q_asof_join, _ASOF_SQL, "J-asof", True,
