@@ -237,7 +237,36 @@ GROUP BY event_type
 """
 
 
+# --- Pivot ------------------------------------------------------------------
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type value matrix via pivot (explicit value list keeps
+    the schema static — the scale-safe form; an unlisted pivot scans twice)."""
+    ev = load(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("date", F.to_date("ts"))
+        .groupBy("date")
+        .pivot("event_type", kinds)
+        .agg(dsum(F.col("value")))
+        .orderBy("date")
+    )
+
+
+_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS date,
+       {sql_dsum("CASE WHEN event_type = 'click' THEN value END")} AS click,
+       {sql_dsum("CASE WHEN event_type = 'error' THEN value END")} AS error,
+       {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END")} AS purchase,
+       {sql_dsum("CASE WHEN event_type = 'signup' THEN value END")} AS signup,
+       {sql_dsum("CASE WHEN event_type = 'view' THEN value END")} AS view
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
 for _spec in [
+    QuerySpec("pivot_daily", q_pivot_daily, _PIVOT_SQL, "A-pivot", False,
+              "Daily x event-type pivot matrix"),
     QuerySpec("percentile_summary", q_percentile_summary, _PERCENTILE_SQL, "A-quantile", False,
               "Exact percentile battery (interpolated, engine-exact)"),
     QuerySpec("scalar_battery", q_scalar_battery, _SCALAR_BATTERY_SQL, "F-scalar", False,
