@@ -95,6 +95,42 @@ def extract_gold_region(
     return wh.read(GOLD_TABLE)
 
 
+def district_section_counts(wh: Warehouse) -> DataFrame:
+    """Per-district section counts over the extracted gold region
+    (dags/section_extraction/test_section_extraction.py:118-127)."""
+    gold = wh.read(GOLD_TABLE)
+    return (
+        gold.groupBy("district_id")
+        .agg(F.count("*").alias("n_sections"))
+        .orderBy("district_id")
+    )
+
+
+def extraction_summary(wh: Warehouse, year: int) -> dict:
+    """Extraction QA summary (…test_section_extraction.py:80-92,129-143):
+    silver vs gold counts, retained percentage, and bbox of the extracted
+    region vs the full silver bbox."""
+    from ..operators.spatial import st_bounds
+
+    silver = wh.read(SILVER_TABLE).filter(F.col("year") == year)
+    gold = wh.read(GOLD_TABLE)
+    n_silver, n_gold = silver.count(), gold.count()
+
+    def bbox(df: DataFrame) -> tuple:
+        b = df.withColumn("_b", st_bounds(F.col("geometry"))).agg(
+            F.min("_b.xmin"), F.min("_b.ymin"), F.max("_b.xmax"), F.max("_b.ymax")
+        ).first()
+        return tuple(b)
+
+    return {
+        "n_silver": n_silver,
+        "n_gold": n_gold,
+        "retained_pct": (100.0 * n_gold / n_silver) if n_silver else 0.0,
+        "silver_bbox": bbox(silver),
+        "gold_bbox": bbox(gold),
+    }
+
+
 def municipality_centroids(wh: Warehouse) -> DataFrame:
     """temp_municipality_centroids (dags/gravity/create_centroids.py:12-19):
     dissolve census sections per municipality → area-weighted centroid."""

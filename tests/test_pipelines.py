@@ -162,3 +162,18 @@ def test_update_where_null_repair(wh, spark):
     fixed = wh.read("tmp_update_test")
     assert fixed.filter(F.col("std_trips").isNull()).count() == 0
     wh.drop_if_exists("tmp_update_test")
+
+
+def test_section_extraction_battery(wh):
+    """Port of the reference's Valencia extraction verification
+    (dags/section_extraction/test_section_extraction.py): per-district
+    counts, retained percentage, bounds containment."""
+    counts = geometry.district_section_counts(wh)
+    rows = counts.collect()
+    assert len(rows) == 9 and all(r["n_sections"] == 2 for r in rows)
+    summary = geometry.extraction_summary(wh, fx.YEAR)
+    assert summary["n_silver"] == summary["n_gold"] == 18
+    assert summary["retained_pct"] == 100.0
+    sxmin, symin, sxmax, symax = summary["silver_bbox"]
+    gxmin, gymin, gxmax, gymax = summary["gold_bbox"]
+    assert sxmin <= gxmin and sxmax >= gxmax and symin <= gymin and symax >= gymax
