@@ -305,6 +305,14 @@ def make_polygon_predicate_udf(polygon_wkt: str, predicate: str = "intersects"):
                 out.append(polygon_contains(region, rings))
             elif predicate == "within":
                 out.append(polygon_contains(rings, region))
+            elif predicate == "overlaps":
+                # ST_Overlaps: interiors intersect but neither contains the
+                # other (dags/section_extraction/extract_sections_from_polygon.py:32-39)
+                out.append(
+                    polygons_intersect(region, rings)
+                    and not polygon_contains(region, rings)
+                    and not polygon_contains(rings, region)
+                )
             else:
                 raise ValueError(predicate)
         return pd.Series(out)

@@ -135,3 +135,27 @@ def test_polygon_predicates():
     assert spatial.polygons_intersect(big, small)
     assert spatial.polygons_intersect(big, overlap)
     assert not spatial.polygons_intersect(big, far)
+
+
+def test_polygon_predicate_udf_variants(spark):
+    """All four parameterized predicates of the region-extraction UDF
+    (P10: intersects/contains/within/overlaps)."""
+    from pyspark.sql import functions as F
+
+    region = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    df = spark.createDataFrame(
+        [
+            ("inside", "POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"),
+            ("straddle", "POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))"),
+            ("outside", "POLYGON ((20 20, 21 20, 21 21, 20 21, 20 20))"),
+        ],
+        "name string, wkt string",
+    )
+    got = {}
+    for pred in ("intersects", "contains", "within", "overlaps"):
+        udf = spatial.make_polygon_predicate_udf(region, pred)
+        got[pred] = {r["name"] for r in df.filter(udf(F.col("wkt"))).collect()}
+    assert got["intersects"] == {"inside", "straddle"}
+    assert got["contains"] == {"inside"}
+    assert got["within"] == set()
+    assert got["overlaps"] == {"straddle"}
