@@ -101,3 +101,24 @@ def test_stateful_running_totals(spark, tmp_path):
     got = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in out.collect()}
     want = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """The lag+cumsum sessionization (oracle-checkable) must agree with
+    Spark's native session_window on per-user session counts."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    ours = (
+        load_all()["sessionize"].build(spark, SF)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    ev = load_events(spark, SF)
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+    diff = ours.exceptAll(native)
+    assert diff.count() == 0 and ours.count() > 0
