@@ -110,6 +110,19 @@ class Warehouse:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    def merge_upsert(self, name: str, updates: DataFrame, keys: list[str]) -> None:
+        """MERGE INTO emulation without Delta (guide: "CDC/SCD2 → MERGE
+        INTO … emulate with anti-join + union"): rows matching ``keys`` in
+        ``updates`` replace existing rows, others append. With Delta jars
+        on the classpath this becomes ``DeltaTable.merge`` verbatim."""
+        if not self.table_exists(name):
+            self.create_or_replace(name, updates)
+            return
+        existing = self.read(name)
+        kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(updates).localCheckpoint(eager=True)
+        self.create_or_replace(name, merged)
+
     # --- idempotency guards -------------------------------------------------
     def count_where(self, name: str, predicate) -> int:
         if not self.table_exists(name):

@@ -264,7 +264,39 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- Cross-modal join: text table ⋈ embedding table -------------------------
+def q_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings on doc_id=vec_id: the text↔vector alignment
+    join every retrieval pipeline needs, rolled up per (lang, label)."""
+    from ..operators.similarity import sql_norm2  # noqa: F401  (oracle twin)
+    from ..operators import similarity as sim
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    return joined.groupBy("lang", "label").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        davg(sim.norm2(F.col("embedding"))).alias("avg_norm"),
+    )
+
+
+def _crossmodal_sql() -> str:
+    from ..operators.similarity import sql_norm2
+
+    return f"""
+SELECT lang, label,
+       COUNT(*) AS n_docs,
+       {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+       {sql_davg(sql_norm2('embedding'))} AS avg_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY lang, label
+"""
+
+
 for _spec in [
+    QuerySpec("crossmodal_join", q_crossmodal_join, _crossmodal_sql(), "MM-join", False,
+              "documents ⋈ embeddings alignment join with per-(lang,label) rollup"),
     QuerySpec("pivot_daily", q_pivot_daily, _PIVOT_SQL, "A-pivot", False,
               "Daily x event-type pivot matrix"),
     QuerySpec("percentile_summary", q_percentile_summary, _PERCENTILE_SQL, "A-quantile", False,

@@ -76,3 +76,22 @@ def test_clustered_write_layout(spark, tmp_path):
         .agg(F.countDistinct("l_returnflag", "l_linestatus").alias("combos"))
     )
     assert per_file.agg(F.max("combos")).first()[0] <= 2
+
+
+def test_merge_upsert(spark, tmp_path):
+    """MERGE emulation: matched keys replaced, unmatched appended,
+    untouched rows preserved."""
+    from lakehouse_spain_mobility_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh_merge"))
+    base = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+                                 "id int, tag string, v double")
+    wh.merge_upsert("t", base, ["id"])
+    updates = spark.createDataFrame([(2, "b2", 21.0), (4, "d", 40.0)],
+                                    "id int, tag string, v double")
+    wh.merge_upsert("t", updates, ["id"])
+    rows = {r["id"]: (r["tag"], r["v"]) for r in wh.read("t").collect()}
+    assert rows == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    # idempotent re-merge
+    wh.merge_upsert("t", updates, ["id"])
+    assert wh.read("t").count() == 4
