@@ -93,3 +93,31 @@ def compare(spark: SparkSession, spec: QuerySpec, sf_dir: str) -> DiffResult:
                 f"first differing row #{i}:\n  spark : {a}\n  duckdb: {b}\n  cols  : {cols}",
             )
     return DiffResult(spec.name, len(spark_rows), len(duck_rows), True)
+
+
+def main() -> int:
+    """CLI sweep: ``python -m lakehouse_spain_mobility_spark.oracle [sf_dir]``
+    runs every registry query against its oracle and prints a verdict line
+    per query (exit 1 on any mismatch)."""
+    import sys
+
+    from .queries import load_all
+    from .session import build_session
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_session(extra_conf={"spark.ui.showConsoleProgress": "false"})
+    failed = 0
+    for spec in load_all().values():
+        r = compare(spark, spec, sf_dir)
+        status = "MATCH" if r.match else "MISMATCH"
+        extra = "(rows-only)" if spec.oracle is None else ""
+        print(f"{spec.name:24s} {status} {r.rows} rows {extra}")
+        if not r.match:
+            failed += 1
+            print(f"    {r.detail}")
+    print(f"\n{len(load_all()) - failed}/{len(load_all())} queries verified")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
