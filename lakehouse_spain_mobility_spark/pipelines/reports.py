@@ -91,6 +91,21 @@ def generate_district_report(
     return {"csv": csv_path, "markdown": md_path}
 
 
+def run_bq1_all_districts(wh: Warehouse, out_dir: str, year: int | None = None) -> dict[str, dict]:
+    """EP3/BQ1 driver loop (dags/bussiness_layer/business_questions_dag.py:
+    129-167): enumerate districts via SELECT DISTINCT district_id over the
+    extracted gold geometry (P12), then emit one report per district."""
+    districts = [
+        r["district_id"]
+        for r in wh.read("gold_geometry_wgs84")
+        .select("district_id")
+        .distinct()
+        .orderBy("district_id")
+        .collect()
+    ]
+    return {d: generate_district_report(wh, d, out_dir, year) for d in districts}
+
+
 def ranking_map_html(wh: Warehouse, out_path: str) -> str:
     """Choropleth map of the infrastructure ranking
     (dags/gravity/create_map.py:5-58): municipality polygons dissolved and

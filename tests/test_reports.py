@@ -76,3 +76,10 @@ def test_schema_dump(wh, tmp_path):
     assert lines[0] == "table,column,type"
     tables = {l.split(",")[0] for l in lines[1:]}
     assert "gold_typical_day_patterns" in tables and "silver_mobility_trips" in tables
+
+
+def test_bq1_all_districts_enumeration(wh, tmp_path):
+    """The EP3/BQ1 loop produces one report per distinct district."""
+    arts = reports.run_bq1_all_districts(wh, str(tmp_path / "bq1"))
+    assert len(arts) == 9  # one per fixture municipality's district
+    assert all(os.path.exists(a["csv"]) and os.path.exists(a["markdown"]) for a in arts.values())
