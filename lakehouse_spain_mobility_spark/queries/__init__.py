@@ -45,5 +45,8 @@ def load_all() -> dict[str, QuerySpec]:
     from . import similarity  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import extra  # noqa: F401
+    from . import battery  # noqa: F401
+    from . import tpch  # noqa: F401
+    from . import mlprep  # noqa: F401
 
     return REGISTRY

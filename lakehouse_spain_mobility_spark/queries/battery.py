@@ -1,0 +1,315 @@
+"""Engine-surface batteries beyond the reference's own SQL: window
+functions, set operations, date/time scalars, array/higher-order
+functions, positional explode, GROUPING SETS, and approximate distinct
+counting.
+
+The reference uses none of these directly (SURVEY §2.6 "window functions:
+none", §2.7 "set operations: none"), but a user switching engines gets
+them from DuckDB for free — so our Spark surface must provide them too,
+each proven against the DuckDB oracle. Every float that crosses an
+aggregation boundary goes through the deterministic fixed-point helpers
+(functions/deterministic.py); raw stored doubles (lag/lead copies) are
+exact by construction.
+
+Scale notes: window batteries shuffle once on the partition key;
+set operations hash-aggregate (EXCEPT/INTERSECT are distinct-based);
+posexplode is a narrow transformation (no shuffle); GROUPING SETS runs
+as a single Expand + one aggregation in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, sql_dsum
+from ..operators.similarity import norm2, sql_norm2
+from . import QuerySpec, register
+from .tables import load
+
+
+# --- Window-function battery (§2.6 upgrade) ---------------------------------
+def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / ntile / lag / lead on a unique ordering plus
+    rank / dense_rank / percent_rank / cume_dist on a tied ordering, and a
+    running fixed-point sum. One shuffle on event_type serves all windows."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w2 = Window.partitionBy("event_type").orderBy(F.floor("value"))
+    wrun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running_dec = F.sum(
+        F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
+    ).over(wrun)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w1).alias("rn"),
+        F.ntile(4).over(w1).alias("quartile"),
+        F.lag("value").over(w1).alias("prev_value"),
+        F.lead("value").over(w1).alias("next_value"),
+        F.rank().over(w2).cast("int").alias("rnk"),
+        F.dense_rank().over(w2).cast("int").alias("drnk"),
+        F.percent_rank().over(w2).alias("pct_rank"),
+        F.cume_dist().over(w2).alias("cdist"),
+        (running_dec.cast("string").cast("double") / F.lit(1000000.0)).alias(
+            "running_value"
+        ),
+    )
+
+
+_WINDOW_SQL = """
+SELECT event_id, event_type,
+       CAST(ROW_NUMBER() OVER w1 AS INTEGER) AS rn,
+       CAST(NTILE(4) OVER w1 AS INTEGER) AS quartile,
+       LAG(value) OVER w1 AS prev_value,
+       LEAD(value) OVER w1 AS next_value,
+       CAST(RANK() OVER w2 AS INTEGER) AS rnk,
+       CAST(DENSE_RANK() OVER w2 AS INTEGER) AS drnk,
+       PERCENT_RANK() OVER w2 AS pct_rank,
+       CUME_DIST() OVER w2 AS cdist,
+       (CAST(CAST(SUM(CAST(ROUND(value * 1000000.0) AS DECIMAL(38,0)))
+                  OVER (PARTITION BY event_type ORDER BY value, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS VARCHAR) AS DOUBLE) / 1000000.0) AS running_value
+FROM events
+WHERE value IS NOT NULL
+WINDOW w1 AS (PARTITION BY event_type ORDER BY value, event_id),
+       w2 AS (PARTITION BY event_type ORDER BY FLOOR(value))
+"""
+
+
+# --- Set operations (§2.7) --------------------------------------------------
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(high-value viewers INTERSECT high-value purchasers) EXCEPT
+    high-value error-reporters — the distinct-based forms. Each set op is a
+    hash semi/anti aggregation. Value thresholds keep the sets proper
+    subsets of the user universe (every type touches every user here)."""
+    ev = load(spark, sf_dir, "events")
+    ids = lambda kind, cutoff: ev.filter(
+        (F.col("event_type") == kind) & (F.col("value") > cutoff)
+    ).select("user_id")
+    return ids("view", 90).intersect(ids("purchase", 90)).subtract(ids("error", 95))
+
+
+_SET_OPS_SQL = """
+(SELECT user_id FROM events WHERE event_type = 'view' AND value > 90
+ INTERSECT
+ SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+"""
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) forms: EXCEPT ALL and INTERSECT ALL over
+    (user_id, day) with duplicate multiplicity preserved, tagged and
+    unioned into one frame."""
+    ev = load(spark, sf_dir, "events")
+    pairs = lambda kind: ev.filter(F.col("event_type") == kind).select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    views, purchases = pairs("view"), pairs("purchase")
+    return (
+        views.exceptAll(purchases)
+        .withColumn("op", F.lit("except_all"))
+        .unionByName(views.intersectAll(purchases).withColumn("op", F.lit("intersect_all")))
+    )
+
+
+_SET_OPS_ALL_SQL = """
+SELECT *, 'except_all' AS op FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    EXCEPT ALL
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase')
+UNION ALL
+SELECT *, 'intersect_all' AS op FROM (
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'view'
+    INTERSECT ALL
+    SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'purchase')
+"""
+
+
+# --- Date/time scalar battery (§2.8 date functions, widened) ----------------
+def q_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic over the distinct order dates: truncation,
+    extraction, week numbering, month clamping, day offsets, epoch."""
+    d = F.col("d")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderdate")
+        .distinct()
+        .select(
+            F.col("o_orderdate").alias("ts"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .select(
+            "d",
+            F.date_trunc("month", d).cast("date").alias("month_start"),
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.dayofmonth(d).alias("dom"),
+            F.dayofyear(d).alias("doy"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofweek(d).alias("dow_sun1"),
+            F.last_day(d).alias("month_end"),
+            F.date_add(d, 30).alias("plus_30d"),
+            F.add_months(d, 2).alias("plus_2mo"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+            # ts is TIMESTAMP_NTZ off parquet; session TZ is pinned UTC so
+            # the LTZ cast is wall-clock-preserving (matches DuckDB epoch_us
+            # on the naive timestamp).
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("epoch_micros"),
+        )
+    )
+
+
+_DATETIME_SQL = """
+WITH base AS (SELECT DISTINCT o_orderdate AS ts, CAST(o_orderdate AS DATE) AS d
+              FROM orders)
+SELECT d,
+       CAST(date_trunc('month', d) AS DATE) AS month_start,
+       CAST(year(d) AS INTEGER) AS yr,
+       CAST(quarter(d) AS INTEGER) AS qtr,
+       CAST(day(d) AS INTEGER) AS dom,
+       CAST(dayofyear(d) AS INTEGER) AS doy,
+       CAST(week(d) AS INTEGER) AS iso_week,
+       CAST(dayofweek(d) + 1 AS INTEGER) AS dow_sun1,
+       last_day(d) AS month_end,
+       d + 30 AS plus_30d,
+       CAST(d + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+       CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS days_since_95,
+       epoch_us(ts) AS epoch_micros
+FROM base
+"""
+
+
+# --- Array / higher-order function battery ----------------------------------
+def q_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector array surface: length, subscript, max, filtered count,
+    L2 norm (sequential fold — bit-identical to DuckDB list_reduce), sorted
+    subscript, existence predicate."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_el"),
+        F.array_max(emb).cast("double").alias("vmax"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        norm2(emb).alias("l2"),
+        F.element_at(F.sort_array(emb, asc=False), 2).cast("double").alias("second_desc"),
+        F.exists(emb, lambda x: x > F.lit(0.5)).alias("has_big"),
+    )
+
+
+_ARRAY_SQL = f"""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_el,
+       CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+       {sql_norm2('embedding')} AS l2,
+       CAST(list_sort(embedding, 'DESC')[2] AS DOUBLE) AS second_desc,
+       len(list_filter(embedding, x -> x > 0.5)) > 0 AS has_big
+FROM embeddings
+"""
+
+
+# --- Positional explode (UNNEST WITH ORDINALITY analog) ---------------------
+def q_explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the embedding column — the row-to-element pivot that
+    feeds any per-dimension statistic. Narrow (no shuffle)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", F.col("pos").cast("int"), F.col("val").cast("double"))
+
+
+_EXPLODE_SQL = """
+SELECT vec_id, CAST(pos AS INTEGER) AS pos, CAST(val AS DOUBLE) AS val
+FROM (SELECT vec_id,
+             unnest(range(len(embedding))) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings)
+"""
+
+
+# --- GROUPING SETS (beyond the rollup already covered) ----------------------
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status),(priority),()) — one Expand + one
+    aggregation in Spark, not three scans."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id() AS INT) AS gid,
+               COUNT(*) AS n_orders,
+               {_SPARK_DSUM_TOTALPRICE} AS total_price
+        FROM orders_gs_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# Spark-SQL text twin of functions.deterministic.dsum (same fixed-point).
+_SPARK_DSUM_TOTALPRICE = (
+    "(CAST(CAST(SUM(CAST(ROUND(o_totalprice * 1000000.0) AS DECIMAL(38,0)))"
+    " AS STRING) AS DOUBLE) / 1000000.0)"
+)
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+# --- Approximate distinct counting (HLL) ------------------------------------
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct per event_type, checked against the exact
+    count with a 15% bound. The sketches differ between engines, so the
+    oracle contract is (exact value, bound holds) — both deterministic.
+    At 100 TB the sketch is mergeable map-side; the exact count shuffles
+    every distinct key."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("int").alias("exact_users"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.count_distinct("user_id"))
+            <= 0.15 * F.count_distinct("user_id")
+        ).alias("within_15pct"),
+    )
+
+
+_APPROX_SQL = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS INTEGER) AS exact_users,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+           <= 0.15 * COUNT(DISTINCT user_id) AS within_15pct
+FROM events
+GROUP BY event_type
+"""
+
+
+for _spec in [
+    QuerySpec("window_battery", q_window_battery, _WINDOW_SQL, "W-battery", True,
+              "Window-function battery: ranks, offsets, ntile, running fixed-point sum"),
+    QuerySpec("set_ops", q_set_ops, _SET_OPS_SQL, "SET-distinct", False,
+              "INTERSECT / EXCEPT distinct set algebra"),
+    QuerySpec("set_ops_all", q_set_ops_all, _SET_OPS_ALL_SQL, "SET-bag", False,
+              "EXCEPT ALL / INTERSECT ALL multiset algebra with multiplicity"),
+    QuerySpec("datetime_battery", q_datetime_battery, _DATETIME_SQL, "F-datetime", False,
+              "Calendar scalar battery: trunc/extract/week/clamped month math/epoch"),
+    QuerySpec("array_battery", q_array_battery, _ARRAY_SQL, "F-array", False,
+              "Array/higher-order battery over embeddings"),
+    QuerySpec("explode_positional", q_explode_positional, _EXPLODE_SQL, "F-explode", False,
+              "posexplode vs zipped UNNEST with ordinality"),
+    QuerySpec("grouping_sets", q_grouping_sets, _GROUPING_SETS_SQL, "A-gsets", False,
+              "Explicit GROUPING SETS with grouping ids"),
+    QuerySpec("approx_distinct", q_approx_distinct, _APPROX_SQL, "A-approx", False,
+              "HLL approx_count_distinct with exact-count error bound"),
+]:
+    register(_spec)

@@ -1,0 +1,110 @@
+"""Training-data preparation operators: deterministic dataset splitting
+and TF-IDF term statistics over the documents table.
+
+Both are engine-portable by construction: the split key is an md5 prefix
+(identical lowercase hex in Spark and DuckDB — no reliance on either
+engine's private hash), and the only transcendental (ln in idf) is
+rounded to 6 decimals on both sides.
+
+Scale notes: the split is a narrow map (no shuffle) — at 100 TB it
+streams; bucketing by hash prefix also makes the split stable under
+re-partitioning and appends, unlike sample()/RAND which reshuffle
+membership every run. TF-IDF is explode → two hash aggregations; the
+token dictionary (distinct tokens) is the only reduce-side state, and
+the doc-count scalar is collected once and broadcast as a literal
+(same pattern as the gravity k constant, SURVEY §2.5 A5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, sql_davg
+from . import QuerySpec, register
+from .tables import load
+
+
+# --- Deterministic train/val/test split -------------------------------------
+def _split_col(key: F.Column) -> F.Column:
+    """md5-prefix bucket: '00'..'bf' train (75%), 'c0'..'df' val (12.5%),
+    'e0'..'ff' test (12.5%). Lexicographic compare on fixed-width lowercase
+    hex == numeric compare on the first byte."""
+    b = F.substring(F.md5(key.cast("string").cast("binary")), 1, 2)
+    return (
+        F.when(b < "c0", "train").when(b < "e0", "val").otherwise("test")
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("split", _split_col(F.col("doc_id")))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        )
+    )
+
+
+_SPLIT_SQL = f"""
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e0' THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- TF-IDF term statistics -------------------------------------------------
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token document frequency, total term frequency, and idf
+    (ln(N/df), 6-dp-rounded) for tokens seen in >= 5 documents."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()  # grand-aggregate scalar -> literal (A5 pattern)
+    tokens = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+        .filter(F.col("df") >= 5)
+        .withColumn(
+            "idf6",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000000.0)
+            / F.lit(1000000.0),
+        )
+    )
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents
+),
+per_doc AS (
+    SELECT doc_id, token, COUNT(*) AS tf
+    FROM tok WHERE token <> ''
+    GROUP BY doc_id, token
+)
+SELECT token, COUNT(*) AS df, SUM(tf) AS total_tf,
+       ROUND(ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(*)) * 1000000.0)
+           / 1000000.0 AS idf6
+FROM per_doc
+GROUP BY token
+HAVING COUNT(*) >= 5
+"""
+
+
+for _spec in [
+    QuerySpec("train_test_split", q_train_test_split, _SPLIT_SQL, "ML-split", False,
+              "Deterministic md5-bucketed train/val/test split with per-split stats"),
+    QuerySpec("tfidf_terms", q_tfidf_terms, _TFIDF_SQL, "ML-tfidf", False,
+              "TF-IDF term statistics: df, total tf, rounded idf per token"),
+]:
+    register(_spec)
