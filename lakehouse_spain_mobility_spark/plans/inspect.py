@@ -52,8 +52,10 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schemas(df: DataFrame) -> list[str]:
-    """ReadSchema of every scan — column-pruning evidence."""
-    return re.findall(r"ReadSchema: struct<([^>]*)>", executed_plan(df))
+    """ReadSchema of every scan — column-pruning evidence. Long schemas are
+    truncated by Spark's plan printer ("...strin..."), so capture to the
+    closing ``>`` or end-of-line, whichever first."""
+    return re.findall(r"ReadSchema: struct<([^>\n]*)", executed_plan(df))
 
 
 def final_plan(df: DataFrame) -> str:

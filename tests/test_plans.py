@@ -70,3 +70,26 @@ def test_events_scan_prunes_unused_columns(spark):
     schemas = pi.read_schemas(df)
     # props/event_id never read
     assert schemas and all("props" not in s and "event_id" not in s for s in schemas), schemas
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    """Q1 contract: the shipdate predicate reaches the parquet scan and the
+    scan reads only the 7 referenced columns (no l_orderkey/partkey/suppkey)."""
+    df = REG["tpch_q1"].build(spark, SF_DIR_ORACLE)
+    pushed = pi.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+    schemas = pi.read_schemas(df)
+    assert schemas and all(
+        "l_orderkey" not in s and "l_partkey" not in s and "l_suppkey" not in s
+        for s in schemas
+    ), schemas
+    assert pi.count_shuffles(df) == 1  # one exchange for the groupBy
+
+
+def test_tpch_q3_broadcast_and_top10(spark):
+    """Q3 contract: customer joins as broadcast, and the ORDER BY+LIMIT
+    plans as TakeOrderedAndProject — never a global sort."""
+    df = REG["tpch_q3"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 1
+    plan = pi.final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
