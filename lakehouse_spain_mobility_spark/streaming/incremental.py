@@ -75,3 +75,26 @@ def stream_silver_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    spark: SparkSession, input_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once dedup of re-delivered events:
+    dropDuplicatesWithinWatermark keys state on event_id and expires it
+    once the watermark passes — bounded state, unlike a plain
+    dropDuplicates whose key set grows forever. This is the streaming form
+    of the reference's count-check-skip re-delivery guard
+    (dags/mitma/bronze_mitma.py:38-47)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_enrich(spark: SparkSession, input_dir: str, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch broadcast-joins the static dim
+    (re-read per batch, so slowly-changing dims are picked up). The stream
+    side never shuffles for the join."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "ts", "user_id", "event_type", "type_label", "value"
+    )

@@ -122,3 +122,49 @@ def test_sessionize_matches_native_session_window(spark):
     )
     diff = ours.exceptAll(native)
     assert diff.count() == 0 and ours.count() > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered (duplicated) input files collapse back to the distinct
+    event set."""
+    staged = _stage_events(spark, tmp_path)
+    dup_dir = str(tmp_path / "events_dup")
+    ev = spark.read.parquet(staged)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # every event delivered twice
+    assert spark.read.parquet(dup_dir).count() == 2 * ev.count()
+
+    q = (
+        st.stream_dedup(spark, dup_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_smoke").first()
+    assert got.n == got.d == ev.count()
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    staged = _stage_events(spark, tmp_path)
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ["click", "error", "purchase", "signup", "view"]],
+        ["event_type", "type_label"],
+    )
+    q = (
+        st.stream_static_enrich(spark, staged, dim)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_smoke")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    streamed = spark.sql("SELECT * FROM enrich_smoke")
+    batch = spark.read.parquet(staged).join(dim, "event_type")
+    assert streamed.count() == batch.count() > 0
+    assert streamed.filter(F.col("type_label") != F.upper("event_type")).count() == 0
