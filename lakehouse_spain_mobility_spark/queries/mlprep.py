@@ -101,9 +101,91 @@ HAVING COUNT(*) >= 5
 """
 
 
+# --- int8 scalar quantization of embeddings ---------------------------------
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q = clamp(round(x/scale)), plus the reconstruction-error contract
+    max|x - q*scale| <= scale/2. Every step is exact IEEE arithmetic in
+    index order, so both engines produce bit-identical errors. At scale
+    this is a narrow map that cuts vector storage 4x before ANN indexing."""
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double"))))
+    scale = maxabs / F.lit(127.0)
+    raw = F.transform(emb, lambda x: F.round(x.cast("double") / scale))
+    q = F.transform(raw, lambda r: F.greatest(F.least(r, F.lit(127.0)), F.lit(-127.0)))
+    max_err = F.array_max(
+        F.zip_with(emb, q, lambda x, qi: F.abs(x.cast("double") - qi * scale))
+    )
+    return (
+        e.select("vec_id", scale.alias("scale"), raw.alias("raw"), q.alias("q"), emb.alias("emb"))
+        .select(
+            "vec_id",
+            "scale",
+            F.size(F.filter("raw", lambda r: F.abs(r) > 127)).alias("n_clipped"),
+            F.array_max(
+                F.zip_with("emb", "q", lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale")))
+            ).alias("max_err"),
+            (
+                F.array_max(
+                    F.zip_with("emb", "q", lambda x, qi: F.abs(x.cast("double") - qi * F.col("scale")))
+                )
+                <= F.col("scale") * F.lit(0.5000001)
+            ).alias("err_ok"),
+        )
+    )
+
+
+_QUANTIZE_SQL = """
+WITH scaled AS (
+    SELECT vec_id, embedding,
+           list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max')
+               / 127.0 AS scale
+    FROM embeddings
+),
+quantized AS (
+    SELECT vec_id, embedding, scale,
+           list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) / scale)) AS raw
+    FROM scaled
+),
+clamped AS (
+    SELECT vec_id, embedding, scale, raw,
+           list_transform(raw, r -> LEAST(GREATEST(r, -127.0), 127.0)) AS q
+    FROM quantized
+)
+SELECT vec_id, scale,
+       CAST(len(list_filter(raw, r -> abs(r) > 127)) AS INTEGER) AS n_clipped,
+       list_aggregate(list_transform(list_zip(embedding, q),
+           p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)), 'max') AS max_err,
+       list_aggregate(list_transform(list_zip(embedding, q),
+           p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)), 'max')
+           <= scale * 0.5000001 AS err_ok
+FROM clamped
+"""
+
+
+# --- k-means clustering (rows-only: iterative, not SQL-expressible) ---------
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster size and inertia share after 4 Lloyd iterations (k=8,
+    deterministic smallest-id init)."""
+    from ..functions.deterministic import dsum
+    from ..operators.clustering import kmeans
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned, _history = kmeans(e, "vec_id", "embedding", k=8, iters=4)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        dsum(F.col("sqdist")).alias("inertia"),
+    )
+
+
 for _spec in [
+    QuerySpec("kmeans_clusters", q_kmeans_clusters, None, "ML-cluster", False,
+              "Iterative k-means (Lloyd) cluster sizes + inertia (rows-only)"),
     QuerySpec("train_test_split", q_train_test_split, _SPLIT_SQL, "ML-split", False,
               "Deterministic md5-bucketed train/val/test split with per-split stats"),
+    QuerySpec("quantize_int8", q_quantize_int8, _QUANTIZE_SQL, "ML-quant", False,
+              "Symmetric int8 embedding quantization with reconstruction-error contract"),
     QuerySpec("tfidf_terms", q_tfidf_terms, _TFIDF_SQL, "ML-tfidf", False,
               "TF-IDF term statistics: df, total tf, rounded idf per token"),
 ]:

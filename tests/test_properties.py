@@ -71,3 +71,23 @@ def test_utm_transform_plausible_range(easting, northing):
 def test_wkt_parse_never_crashes_on_garbage(s):
     assert spatial.parse_polygon_rings(s) == []
     assert spatial.parse_point(s) is None or isinstance(spatial.parse_point(s), tuple)
+
+
+def test_kmeans_invariants(spark):
+    """Lloyd's algorithm contracts: inertia is monotonically non-increasing,
+    every vector is assigned exactly once, and reruns are bit-identical
+    (deterministic init + fixed-point centroid means)."""
+    from lakehouse_spain_mobility_spark.operators.clustering import kmeans
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    e = load(spark, "/root/testdata/sf0.01", "embeddings")
+    n = e.count()
+    assigned, hist = kmeans(e, "vec_id", "embedding", k=8, iters=4)
+    assert len(hist) == 4
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(hist, hist[1:])), hist
+    assert assigned.count() == n
+    assert assigned.select("id").distinct().count() == n
+    assert assigned.select("cluster").distinct().count() <= 8
+
+    _, hist2 = kmeans(e, "vec_id", "embedding", k=8, iters=4)
+    assert hist == hist2  # rerun determinism
