@@ -60,7 +60,80 @@ _DEDUP_SIMHASH_SQL = dd.sql_simhash_pairs(
 )
 
 
+# --- End-to-end dedup pipeline ----------------------------------------------
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass a training-data pipeline runs: exact dedup
+    (md5 keep-first) → MinHash/LSH candidates among survivors → Jaccard
+    verification (≥0.5) restricted to candidates → keep-first removal;
+    reported as per-lang funnel counts.
+
+    Scale path: every stage is the bounded form — the verification join
+    only sees shingles of candidate docs (semi-join pushes the candidate
+    set into the scan), so the O(pairs) work is LSH-bounded, never corpus-
+    wide. Reference analog: none (beyond-reference training-data surface).
+    """
+    from ..operators import text_analysis as ta
+
+    d = load(spark, sf_dir, "documents")
+    exact_keep = dd.exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs_kept = d.join(exact_keep, "doc_id", "left_semi")
+    sh = dd.shingles(docs_kept, "doc_id", "text")
+    cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
+    cand_docs = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    verified = dd.jaccard_pairs(sh_c, min_jaccard=0.5).join(cands, ["d1", "d2"])
+    removed = verified.select(F.col("d2").alias("doc_id")).distinct()
+    flagged = (
+        d.join(exact_keep.withColumn("is_kept", F.lit(1)), "doc_id", "left")
+        .join(removed.withColumn("is_removed", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("is_kept") == 1, 1)).alias("n_exact_kept"),
+        F.count(
+            F.when((F.col("is_kept") == 1) & F.col("is_removed").isNull(), 1)
+        ).alias("n_final_kept"),
+    )
+
+
+def _dedup_pipeline_sql() -> str:
+    from ..operators import text_analysis as ta
+
+    sh_kept = dd.sql_shingles("docs_kept", "doc_id", "text")
+    cands = dd.sql_lsh_candidate_pairs(dd.sql_lsh_bands(dd.sql_minhash_signatures("SELECT * FROM sh")))
+    jac = dd.sql_jaccard_pairs("SELECT * FROM sh_c", min_jaccard=0.5)
+    return f"""
+WITH exact_keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents
+    GROUP BY {ta.sql_fingerprint_md5('text')}
+),
+docs_kept AS (SELECT d.* FROM documents d JOIN exact_keep USING (doc_id)),
+sh AS ({sh_kept}),
+cands AS (SELECT d1, d2 FROM ({cands})),
+cand_docs AS (SELECT d1 AS doc_id FROM cands UNION SELECT d2 FROM cands),
+sh_c AS (SELECT sh.* FROM sh JOIN cand_docs USING (doc_id)),
+verified AS (SELECT j.d1, j.d2 FROM ({jac}) j JOIN cands USING (d1, d2)),
+removed AS (SELECT DISTINCT d2 AS doc_id FROM verified)
+SELECT d.lang,
+       COUNT(*) AS n_total,
+       COUNT(CASE WHEN k.doc_id IS NOT NULL THEN 1 END) AS n_exact_kept,
+       COUNT(CASE WHEN k.doc_id IS NOT NULL AND r.doc_id IS NULL THEN 1 END) AS n_final_kept
+FROM documents d
+LEFT JOIN exact_keep k ON d.doc_id = k.doc_id
+LEFT JOIN removed r ON d.doc_id = r.doc_id
+GROUP BY d.lang
+"""
+
+
 for _spec in [
+    QuerySpec("dedup_pipeline", q_dedup_pipeline, _dedup_pipeline_sql(), "DD-pipeline", True,
+              "End-to-end curation funnel: exact -> LSH candidates -> Jaccard verify -> keep-first"),
     QuerySpec("dedup_exact", q_dedup_exact, _DEDUP_EXACT_SQL, "DD-exact", False,
               "Exact dedup groups via md5 hash-groupBy"),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, _DEDUP_NGRAM_SQL, "DD-jaccard", True,
