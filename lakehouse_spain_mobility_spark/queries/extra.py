@@ -294,7 +294,65 @@ GROUP BY lang, label
 """
 
 
+# --- Bounded time-range join (interval bucketing) ---------------------------
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each click, count/sum the same user's views in the following
+    hour. A naive theta-join (``b.ts > a.ts AND b.ts <= a.ts + 1h``)
+    is a per-user cross product; here both sides are bucketed to the
+    1-hour grid and candidates are generated only for the two buckets a
+    match can live in (probe side replicated 2×), so the join is a plain
+    equi-join on (user_id, bucket) whose candidate count is bounded by
+    per-bucket density — the standard interval-bucketing trick that keeps
+    the pair count linear at 100 TB. The exact range predicate then runs
+    on µs integers (portable across engines).
+    """
+    window_us = 3_600_000_000  # 1 hour
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("a_user"),
+        F.unix_micros("ts").alias("a_us"),
+        (F.unix_micros("ts") / F.lit(window_us)).cast("long").alias("bucket"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("b_user"),
+        F.unix_micros("ts").alias("b_us"),
+        "value",
+    )
+    # replicate each view into the two buckets where a matching click can be
+    views2 = views.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                (F.col("b_us") / F.lit(window_us)).cast("long"),
+                (F.col("b_us") / F.lit(window_us)).cast("long") - F.lit(1),
+            )
+        ),
+    )
+    return (
+        clicks.join(views2, (F.col("a_user") == F.col("b_user")) & (clicks.bucket == views2.bucket))
+        .filter((F.col("b_us") > F.col("a_us")) & (F.col("b_us") <= F.col("a_us") + F.lit(window_us)))
+        .groupBy(F.col("click_id"), F.col("a_user").alias("user_id"))
+        .agg(F.count("*").alias("n_views"), dsum(F.col("value")).alias("sum_value"))
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+SELECT a.event_id AS click_id, a.user_id,
+       COUNT(*) AS n_views,
+       {sql_dsum('b.value')} AS sum_value
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+GROUP BY a.event_id, a.user_id
+"""
+
+
 for _spec in [
+    QuerySpec("range_join", q_range_join, _RANGE_JOIN_SQL, "J-range", True,
+              "Bounded time-range join via interval bucketing (no per-user cross product)"),
     QuerySpec("crossmodal_join", q_crossmodal_join, _crossmodal_sql(), "MM-join", False,
               "documents ⋈ embeddings alignment join with per-(lang,label) rollup"),
     QuerySpec("pivot_daily", q_pivot_daily, _PIVOT_SQL, "A-pivot", False,

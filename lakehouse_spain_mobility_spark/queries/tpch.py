@@ -1,15 +1,21 @@
-"""TPC-H classic analogs over the synthetic tables: Q1 (pricing summary)
-and Q3 (shipping priority). The reference has no TPC workload (SURVEY §6),
-but these two shapes — full-scan multi-aggregate and selective 3-way
-fact join with top-k — are the canonical scan-heavy and join-heavy
-benchmarks, so they anchor the bench's relational story.
+"""TPC-H classic analogs over the synthetic tables: Q1 (pricing summary),
+Q3 (shipping priority), Q5 (local supplier volume), Q6 (forecast revenue),
+Q18 (large-volume customers). The reference has no TPC workload (SURVEY
+§6), but these shapes — full-scan multi-aggregate, selective fact joins,
+pure filter-scan, and HAVING-gated join-back — are the canonical
+relational benchmarks, so they anchor the bench's relational story.
 
 Scale notes: Q1 is one scan + one shuffle with map-side partial
 aggregation; the shipdate predicate and 7-column projection reach the
 parquet reader (PushedFilters / ReadSchema — asserted in
 tests/test_plans.py). Q3 broadcasts customer (~1.5k rows at sf0.01)
 and shuffles only lineitem-joined-orders on l_orderkey; top-10 is a
-TakeOrderedAndProject, never a full sort.
+TakeOrderedAndProject, never a full sort. Q5 broadcasts every dimension
+(region→nation→supplier/customer), so the only shuffle is the final
+per-nation aggregation. Q6 is zero-shuffle: all three predicates push to
+the parquet reader and the global sum is a two-stage partial agg. Q18's
+HAVING side aggregates lineitem once on l_orderkey; the survivors
+(a few hundred keys) broadcast back against orders/customer.
 """
 
 from __future__ import annotations
@@ -95,10 +101,134 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 local-supplier volume: revenue by nation for ASIA/1996 where the
+    supplying nation equals the customer nation. All dims broadcast — the
+    only shuffle is the final 5-group aggregation."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+_Q5_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 forecast revenue: the pure scan-filter-aggregate shape. All three
+    predicates reach the parquet reader (PushedFilters) and the projection
+    is 3 columns wide; zero shuffle beyond the final partial-agg merge."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: HAVING-gated aggregate over the fact,
+    surviving keys (a few hundred) joined back to orders + customer.
+    The big lineitem aggregation happens exactly once; the join-back side
+    is small enough to broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice, sum_qty
+FROM orders o
+JOIN (
+    SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING {sql_dsum('l_quantity')} > 300
+) big ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
 for _spec in [
     QuerySpec("tpch_q1", q_tpch_q1, _Q1_SQL, "A1-scan", True,
               "TPC-H Q1 pricing summary: full-scan 8-aggregate battery"),
     QuerySpec("tpch_q3", q_tpch_q3, _Q3_SQL, "J2-topk", True,
               "TPC-H Q3 shipping priority: selective 3-way join + top-10"),
+    QuerySpec("tpch_q5", q_tpch_q5, _Q5_SQL, "J2-broadcast", True,
+              "TPC-H Q5 local supplier volume: 6-way broadcast-dim join"),
+    QuerySpec("tpch_q6", q_tpch_q6, _Q6_SQL, "A1-pushdown", True,
+              "TPC-H Q6 forecast revenue: zero-shuffle scan-filter-aggregate"),
+    QuerySpec("tpch_q18", q_tpch_q18, _Q18_SQL, "A8-joinback", False,
+              "TPC-H Q18 large-volume customers: HAVING gate + join-back"),
 ]:
     register(_spec)
