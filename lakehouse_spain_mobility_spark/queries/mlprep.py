@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, sql_davg
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
 from . import QuerySpec, register
 from .tables import load
 
@@ -98,6 +98,62 @@ SELECT token, COUNT(*) AS df, SUM(tf) AS total_tf,
 FROM per_doc
 GROUP BY token
 HAVING COUNT(*) >= 5
+"""
+
+
+# --- Stratified deterministic sampling --------------------------------------
+_STRATUM_THRESHOLDS = {"en": "40", "es": "80"}  # md5-prefix cut: 25% / 50%
+_DEFAULT_THRESHOLD = "c0"  # 75% for every other language
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language downsampling with deterministic membership: a doc is
+    kept iff its md5(doc_id) first byte is below the language's threshold
+    (en 25%, es 50%, rest 75% — the up/down-weighting a training-mix
+    pipeline applies). Membership is a pure function of doc_id, so it is
+    stable under repartitioning, appends, and reruns — unlike
+    ``sample()``/RAND — and the whole operator is a narrow map + one
+    aggregation. Reports per-language totals, kept counts, the realized
+    rate, and average kept-doc length."""
+    d = load(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    thr = F.when(F.col("lang") == "en", _STRATUM_THRESHOLDS["en"]) \
+        .when(F.col("lang") == "es", _STRATUM_THRESHOLDS["es"]) \
+        .otherwise(_DEFAULT_THRESHOLD)
+    kept = (b < thr).cast("int")
+    return (
+        d.select("lang", "n_chars", kept.alias("kept"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum("kept").alias("kept_docs"),
+            (F.sum("kept").cast("double") / F.count("*")).alias("realized_rate"),
+            (
+                dsum(F.when(F.col("kept") == 1, F.col("n_chars").cast("double")).otherwise(0.0))
+                / F.sum("kept")
+            ).alias("avg_kept_chars"),
+        )
+    )
+
+
+_STRATIFIED_SQL = f"""
+WITH tagged AS (
+    SELECT lang, n_chars,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                     (CASE lang WHEN 'en' THEN '{_STRATUM_THRESHOLDS["en"]}'
+                                WHEN 'es' THEN '{_STRATUM_THRESHOLDS["es"]}'
+                                ELSE '{_DEFAULT_THRESHOLD}' END)
+                THEN 1 ELSE 0 END AS kept
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS total_docs,
+       SUM(kept) AS kept_docs,
+       CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate,
+       ({sql_dsum("CASE WHEN kept = 1 THEN CAST(n_chars AS DOUBLE) ELSE 0.0 END")} / SUM(kept))
+           AS avg_kept_chars
+FROM tagged
+GROUP BY lang
 """
 
 
@@ -184,6 +240,8 @@ for _spec in [
               "Iterative k-means (Lloyd) cluster sizes + inertia (rows-only)"),
     QuerySpec("train_test_split", q_train_test_split, _SPLIT_SQL, "ML-split", False,
               "Deterministic md5-bucketed train/val/test split with per-split stats"),
+    QuerySpec("stratified_sample", q_stratified_sample, _STRATIFIED_SQL, "ML-sample", False,
+              "Per-language deterministic downsampling with stable md5 membership"),
     QuerySpec("quantize_int8", q_quantize_int8, _QUANTIZE_SQL, "ML-quant", False,
               "Symmetric int8 embedding quantization with reconstruction-error contract"),
     QuerySpec("tfidf_terms", q_tfidf_terms, _TFIDF_SQL, "ML-tfidf", False,

@@ -181,7 +181,126 @@ FROM fps GROUP BY doc_id
 """
 
 
+# --- Chunk-level (line-level) dedup -----------------------------------------
+_CHUNK_W = 8  # words per chunk
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup analog for documents without line structure: split
+    each doc into consecutive 8-word chunks and measure, per language, how
+    much of the corpus is chunk-duplicated across documents (the signal
+    line-dedup pipelines like CCNet/RefinedWeb remove). Two hash
+    aggregations — chunk → distinct-doc count, then doc → dup share — both
+    shuffle-partitioned on their keys; nothing is quadratic, and at 100 TB
+    the chunk table is the same explode→groupBy shape as the shingle stage
+    of the MinHash pipeline."""
+    w = _CHUNK_W
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    chunks = (
+        d.select(
+            "doc_id",
+            "lang",
+            words.alias("words"),
+            F.explode(
+                F.sequence(F.lit(0), (F.ceil(F.size(words) / F.lit(float(w)))).cast("int") - 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.slice("words", F.col("i") * w + 1, w)).alias("chunk"),
+        )
+    )
+    chunk_docs = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_chunk")
+    )
+    per_doc = (
+        chunks.join(chunk_docs, "chunk")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs_with_chunk") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chunks").alias("total_chunks"),
+        F.sum("dup_chunks").alias("total_dup_chunks"),
+        davg(F.col("dup_chunks").cast("double") / F.col("n_chunks")).alias("avg_dup_ratio"),
+    )
+
+
+_CHUNK_DEDUP_SQL = f"""
+WITH w AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+),
+idx AS (
+    SELECT doc_id, lang, words,
+           unnest(generate_series(0, CAST(ceil(len(words) / {float(_CHUNK_W)}) AS BIGINT) - 1)) AS i
+    FROM w
+),
+chunks AS (
+    SELECT doc_id, lang,
+           array_to_string(words[(i*{_CHUNK_W}+1):(i*{_CHUNK_W}+{_CHUNK_W})], ' ') AS chunk
+    FROM idx
+),
+chunk_docs AS (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs_with_chunk FROM chunks GROUP BY chunk
+),
+per_doc AS (
+    SELECT c.doc_id, c.lang,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN cd.n_docs_with_chunk > 1 THEN 1 ELSE 0 END) AS dup_chunks
+    FROM chunks c JOIN chunk_docs cd ON c.chunk = cd.chunk
+    GROUP BY c.doc_id, c.lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chunks) AS total_chunks,
+       SUM(dup_chunks) AS total_dup_chunks,
+       {sql_davg('CAST(dup_chunks AS DOUBLE) / n_chunks')} AS avg_dup_ratio
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# --- Heavy hitters: global top-k frequent tokens -----------------------------
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most frequent tokens with deterministic tie-break.
+    The top-k over the aggregated token counts is a
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full sort — the pattern that survives a 100 TB token table."""
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        tokens.groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(20)
+    )
+
+
+_HEAVY_HITTERS_SQL = """
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+    FROM documents
+)
+SELECT token, COUNT(*) AS n_occurrences
+FROM tok WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
 for _spec in [
+    QuerySpec("chunk_dedup", q_chunk_dedup, _CHUNK_DEDUP_SQL, "TXT-linededup", False,
+              "Chunk-level (line-level analog) cross-document dedup share per language"),
+    QuerySpec("heavy_hitters", q_heavy_hitters, _HEAVY_HITTERS_SQL, "TXT-topk", False,
+              "Global top-20 frequent tokens (TakeOrderedAndProject top-k)"),
     QuerySpec("doc_winnowing", q_doc_winnowing, _DOC_WINNOWING_SQL, "TXT-fingerprint", False,
               "Winnowing rolling-hash document fingerprints"),
     QuerySpec("token_stats", q_token_stats, _TOKEN_STATS_SQL, "TXT-tokens", True,
