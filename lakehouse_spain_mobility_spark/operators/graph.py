@@ -1,0 +1,90 @@
+"""Iterative graph operators: connected components via min-label
+propagation.
+
+The reference engine has no graph surface; this exists for the
+duplicate-clustering step of a training-data curation pipeline — near-dup
+*pairs* (from LSH/Jaccard, ``operators/dedup.py``) must be closed into
+*clusters* before a keep-one-per-cluster policy is well-defined (keeping
+"the first of each pair" over-deletes when A~B and B~C but A!~C).
+
+Scale path: each iteration is one shuffle on the vertex id (join edges to
+current labels + min-aggregate), i.e. the standard large-graph CC loop
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14
+— the simple label-propagation variant; diameter-bounded iterations).
+Near-dup graphs are piles of small cliques, so it converges in 2-3
+rounds regardless of corpus size. ``localCheckpoint`` truncates lineage
+each round, the same pattern as ``operators/clustering.py`` k-means.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 20
+) -> DataFrame:
+    """Return ``(vertex, component)`` where ``component`` is the minimum
+    vertex id reachable from ``vertex`` over the undirected edge set.
+
+    Converges when no label changes in a round (checked with a single
+    count aggregate — a scalar action per iteration, like the k-means
+    shift test).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # candidate label for each vertex: min of own label and the labels
+        # of all neighbours (one shuffle join + one min-aggregate)
+        neighbour = (
+            sym.join(labels, sym["b"] == labels["vertex"])
+            .select(F.col("a").alias("vertex"), "component")
+        )
+        new_labels = (
+            labels.select("vertex", "component")
+            .union(neighbour)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sql_connected_components(edges_sql: str, src: str = "d1", dst: str = "d2") -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (UNION dedups the
+    frontier, so it terminates), then component = min reachable vertex.
+    O(n·m) rows — fine at oracle scale, never the scale path."""
+    return f"""
+    WITH RECURSIVE edges AS ({edges_sql}),
+    sym AS (
+        SELECT {src} AS a, {dst} AS b FROM edges
+        UNION
+        SELECT {dst} AS a, {src} AS b FROM edges
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+    )
+    SELECT a AS vertex, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a"""

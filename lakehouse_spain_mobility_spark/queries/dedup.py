@@ -131,7 +131,45 @@ GROUP BY d.lang
 """
 
 
+# --- Duplicate clusters: connected components over near-dup pairs -----------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the near-dup *pair* set (word-3-gram Jaccard >= 0.5) into
+    *clusters* via iterative min-label connected components, then report
+    each multi-doc cluster (component representative, member count,
+    docs-to-remove under keep-one). Pairwise keep-first over-deletes on
+    chains A~B~C; the cluster view is what a curation pipeline actually
+    acts on. Scale path: one shuffle per CC round, 2-3 rounds for the
+    small-clique graphs near-dup corpora produce (see operators/graph.py).
+    """
+    from ..operators.graph import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    edges = dd.jaccard_pairs(dd.shingles(d, "doc_id", "text"), min_jaccard=0.5)
+    cc = connected_components(edges.select("d1", "d2"))
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .withColumn("n_removed", F.col("n_docs") - 1)
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    from ..operators.graph import sql_connected_components
+
+    edges = f"SELECT d1, d2 FROM ({_DEDUP_NGRAM_SQL})"
+    cc = sql_connected_components(edges)
+    return f"""
+SELECT component, COUNT(*) AS n_docs, COUNT(*) - 1 AS n_removed
+FROM ({cc}) cc
+GROUP BY component
+HAVING COUNT(*) >= 2
+"""
+
+
 for _spec in [
+    QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), "DD-clusters", False,
+              "Connected-components duplicate clusters over Jaccard>=0.5 pairs"),
     QuerySpec("dedup_pipeline", q_dedup_pipeline, _dedup_pipeline_sql(), "DD-pipeline", True,
               "End-to-end curation funnel: exact -> LSH candidates -> Jaccard verify -> keep-first"),
     QuerySpec("dedup_exact", q_dedup_exact, _DEDUP_EXACT_SQL, "DD-exact", False,

@@ -296,7 +296,142 @@ LIMIT 20
 """
 
 
+# --- Gopher-style repetition quality filter ----------------------------------
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals per document (Gopher rules G5-G13
+    family: duplicate-n-gram fraction, top-n-gram concentration), rolled
+    up per language with a flag rate. One explode -> (doc, bigram) count
+    aggregation feeds all three stats; everything stays in whole-stage
+    codegen, and the per-doc state is bounded by its own bigram
+    vocabulary — the shape that streams at 100 TB."""
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = (
+        d.select(
+            "doc_id",
+            "lang",
+            words.alias("w"),
+            F.explode(F.sequence(F.lit(1), F.size(words) - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.concat_ws(" ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)).alias("g"),
+        )
+        .groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = grams.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("total_bi"),
+        F.count("*").alias("distinct_bi"),
+        F.max("cnt").alias("max_bi"),
+    )
+    dup_frac = (F.col("total_bi") - F.col("distinct_bi")).cast("double") / F.col("total_bi")
+    top_share = F.col("max_bi").cast("double") / F.col("total_bi")
+    flagged = (dup_frac > 0.2) | (top_share > 0.05)
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(flagged.cast("int")).alias("n_flagged"),
+        davg(dup_frac).alias("avg_dup_bigram_frac"),
+        davg(top_share).alias("avg_top_bigram_share"),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (
+    SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g, COUNT(*) AS cnt
+    FROM (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w)
+    GROUP BY doc_id, lang, g
+),
+per_doc AS (
+    SELECT doc_id, lang,
+           SUM(cnt) AS total_bi, COUNT(*) AS distinct_bi, MAX(cnt) AS max_bi
+    FROM g GROUP BY doc_id, lang
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN CAST(total_bi - distinct_bi AS DOUBLE) / total_bi > 0.2
+                  OR CAST(max_bi AS DOUBLE) / total_bi > 0.05
+                THEN 1 ELSE 0 END) AS n_flagged,
+       {sql_davg('CAST(total_bi - distinct_bi AS DOUBLE) / total_bi')} AS avg_dup_bigram_frac,
+       {sql_davg('CAST(max_bi AS DOUBLE) / total_bi')} AS avg_top_bigram_share
+FROM per_doc
+GROUP BY lang
+"""
+
+
+# --- PII redaction -----------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+34 [0-9]{3} [0-9]{3}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a deterministically synthesized contact header
+    (the corpus itself is PII-free, so each doc gets
+    ``user<id>@example.com call +34 NNN NNN`` prepended): replace emails
+    and phone numbers with placeholder tags, report per-language match
+    counts and total characters removed, plus a residual-PII invariant
+    (must be 0). Narrow map (regexp_replace/regexp_count are codegen'd
+    JVM expressions — no UDF), so it streams at any scale."""
+    d = load(spark, sf_dir, "documents")
+    phone = F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0")
+    contact = F.concat(
+        F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com call +34 "),
+        phone, F.lit(" "), phone, F.lit(" "), F.col("text"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        d.select(
+            "lang",
+            F.regexp_count(contact, F.lit(_EMAIL_RE)).alias("n_emails"),
+            F.regexp_count(contact, F.lit(_PHONE_RE)).alias("n_phones"),
+            (F.length(contact) - F.length(scrubbed)).alias("chars_removed"),
+            F.regexp_count(scrubbed, F.lit(_EMAIL_RE)).alias("residual"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum("chars_removed").alias("total_chars_removed"),
+            F.sum("residual").alias("residual_pii"),
+        )
+    )
+
+
+_PII_SQL = f"""
+WITH c AS (
+    SELECT lang,
+           'user' || CAST(doc_id AS VARCHAR) || '@example.com call +34 ' ||
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' ' ||
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' ' || text AS contact
+    FROM documents
+),
+s AS (
+    SELECT lang, contact,
+           regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM c
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(len(regexp_extract_all(contact, '{_EMAIL_RE}'))) AS total_emails,
+       SUM(len(regexp_extract_all(contact, '{_PHONE_RE}'))) AS total_phones,
+       SUM(len(contact) - len(scrubbed)) AS total_chars_removed,
+       SUM(len(regexp_extract_all(scrubbed, '{_EMAIL_RE}'))) AS residual_pii
+FROM s
+GROUP BY lang
+"""
+
+
 for _spec in [
+    QuerySpec("repetition_quality", q_repetition_quality, _REPETITION_SQL, "TXT-gopher", False,
+              "Gopher-style duplicate/top-bigram repetition quality flags per language"),
+    QuerySpec("pii_scrub", q_pii_scrub, _PII_SQL, "TXT-pii", False,
+              "Email/phone redaction with match counts and residual-PII invariant"),
     QuerySpec("chunk_dedup", q_chunk_dedup, _CHUNK_DEDUP_SQL, "TXT-linededup", False,
               "Chunk-level (line-level analog) cross-document dedup share per language"),
     QuerySpec("heavy_hitters", q_heavy_hitters, _HEAVY_HITTERS_SQL, "TXT-topk", False,

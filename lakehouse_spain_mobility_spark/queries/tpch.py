@@ -219,7 +219,66 @@ LIMIT 100
 """
 
 
+_Q22_NATIONS = [1, 3, 5, 7, 9, 11, 13]
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: the synthetic
+    customer table has no c_phone, so the country-code bucket is
+    c_nationkey (same plan shape — IN-list filter, scalar average
+    subquery, NOT EXISTS anti-join, final rollup). The scalar threshold
+    is computed once and injected as a literal (SURVEY §2.5 A5, same as
+    the gravity k constant); the anti-join is a broadcast left_anti on
+    the distinct order custkeys; the final aggregate shuffles only the
+    surviving few-hundred rows. Threshold uses the deterministic davg
+    round-trip so the boundary predicate agrees with DuckDB bit-for-bit.
+    This generator gives every customer at least one order, so the
+    "never ordered" predicate is recast as "no order since 2000" — the
+    anti-join stays the load-bearing operator and the date predicate
+    pushes to the orders scan.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(_Q22_NATIONS))
+    o = load(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(davg(F.col("c_acctbal")).alias("a")).first()["a"]
+    )
+    cust_keys = o.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    return (
+        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        .join(cust_keys, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+_Q22_SQL = f"""
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c_nationkey IN ({', '.join(str(n) for n in _Q22_NATIONS)})
+  AND c_acctbal > (
+      SELECT {sql_davg('c_acctbal')} FROM customer
+      WHERE c_acctbal > 0.0
+        AND c_nationkey IN ({', '.join(str(n) for n in _Q22_NATIONS)})
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q22", q_tpch_q22, _Q22_SQL, "J-anti,A5-scalar", False,
+              "TPC-H Q22 analog: scalar-subquery threshold + anti-join + rollup"),
     QuerySpec("tpch_q1", q_tpch_q1, _Q1_SQL, "A1-scan", True,
               "TPC-H Q1 pricing summary: full-scan 8-aggregate battery"),
     QuerySpec("tpch_q3", q_tpch_q3, _Q3_SQL, "J2-topk", True,

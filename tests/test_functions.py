@@ -70,3 +70,16 @@ def test_spanish_decimal(spark):
     df = spark.createDataFrame([("1.234,56",), ("12,5",), ("junk",)], "s string")
     vals = [r[0] for r in df.select(scalar.spanish_decimal(F.col("s"))).collect()]
     assert vals == [1234.56, 12.5, None]
+
+
+def test_connected_components_chain_merge(spark):
+    """A~B, B~C, D~E: the chain must close into {A,B,C} even though A!~C
+    (the case where pairwise keep-first over-deletes), plus a separate
+    2-clique — and converge within the iteration budget."""
+    from lakehouse_spain_mobility_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "d1 bigint, d2 bigint"
+    )
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
