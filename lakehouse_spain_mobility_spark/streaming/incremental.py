@@ -98,3 +98,56 @@ def stream_static_enrich(spark: SparkSession, input_dir: str, dim: DataFrame) ->
     return events.join(F.broadcast(dim), "event_type").select(
         "event_id", "ts", "user_id", "event_type", "type_label", "value"
     )
+
+
+def attribution_join(views: DataFrame, purchases: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """The view→purchase attribution join, shared by the streaming and
+    batch forms so the parity test compares one plan expressed two ways:
+    same user, purchase within ``horizon`` after the view."""
+    return views.join(
+        purchases,
+        F.expr(
+            f"""view_user = buy_user
+                AND buy_ts >= view_ts
+                AND buy_ts <= view_ts + INTERVAL {horizon}"""
+        ),
+    ).select("view_user", "view_ts", "buy_ts", "buy_value")
+
+
+def _split_views_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("buy_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("buy_value"),
+    )
+    return views, purchases
+
+
+def stream_stream_attribution(
+    spark: SparkSession, input_dir: str, horizon: str = "2 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream self-join with event-time range condition: views
+    joined to purchases by the same user within ``horizon``. Both sides
+    carry watermarks and the join condition bounds buy_ts relative to
+    view_ts, so Spark can expire view-side state once
+    ``watermark + horizon`` passes — bounded state at any stream length,
+    the property that matters at production scale. Reference analog: none
+    (its incrementality is per-date batch reprocessing); this is the
+    §2.10 idiomatic upgrade of correlating two event feeds."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    views, purchases = _split_views_purchases(events)
+    return attribution_join(
+        views.withWatermark("view_ts", watermark),
+        purchases.withWatermark("buy_ts", watermark),
+        horizon,
+    )
+
+
+def batch_attribution(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
+    """Batch form of stream_stream_attribution over a static events frame
+    (the parity oracle for the streaming test)."""
+    views, purchases = _split_views_purchases(events)
+    return attribution_join(views, purchases, horizon)

@@ -168,3 +168,25 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     batch = spark.read.parquet(staged).join(dim, "event_type")
     assert streamed.count() == batch.count() > 0
     assert streamed.filter(F.col("type_label") != F.upper("event_type")).count() == 0
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream view→purchase join must produce
+    exactly the rows of the batch interval join over the same files
+    (availableNow processes everything, so no rows are watermark-dropped)."""
+    staged = _stage_events(spark, tmp_path)
+    sdf = st.stream_stream_attribution(spark, staged, horizon="2 hours", watermark="10 minutes")
+    q = (
+        sdf.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("attr_stream")
+    want = st.batch_attribution(spark.read.parquet(staged), horizon="2 hours")
+    key = lambda r: (r["view_user"], r["view_ts"], r["buy_ts"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    assert got.count() > 0
