@@ -276,7 +276,118 @@ GROUP BY c_nationkey
 """
 
 
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: lineitem has no
+    commitdate/receiptdate, so the EXISTS predicate is "some line shipped
+    after the order date" (late shipping). Shape preserved: quarter-scoped
+    orders scan, EXISTS → left_semi join on l_orderkey, count per
+    priority. The semi-join keys (distinct late l_orderkey) reduce before
+    the join; the date predicates push to both parquet scans."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    late_keys = (
+        l.join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .filter(F.to_date("l_shipdate") > F.to_date("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late_keys, o.o_orderkey == late_keys.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE)
+  )
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join so
+    zero-order customers survive (the non-urgent filter creates them),
+    then a two-level aggregate — per-customer count, then histogram of
+    counts. First shuffle on o_custkey with map-side partial counts; the
+    second aggregate input is one row per customer."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                      AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+) pc
+GROUP BY c_count
+"""
+
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): per-part average quantity
+    joined back against that part's lines — the correlated scalar
+    subquery becomes one aggregate + one equi-join (the J1 join-back
+    pattern at part granularity). Brand filter prunes part first and the
+    semi-joined lineitem side aggregates only surviving partkeys; the
+    0.2*avg threshold uses the davg fixed-point round-trip so the
+    boundary predicate is engine-portable."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    l = load(spark, sf_dir, "lineitem")
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    avg_q = lb.groupBy("l_partkey").agg(davg(F.col("l_quantity")).alias("avg_qty"))
+    small = lb.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < 0.2 * F.col("avg_qty")
+    )
+    return small.agg(
+        (dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count("*").alias("n_small_lines"),
+    )
+
+
+_Q17_SQL = f"""
+WITH lb AS (
+    SELECT l.* FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#1'
+),
+aq AS (
+    SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+    FROM lb GROUP BY l_partkey
+)
+SELECT {sql_dsum('l_extendedprice')} / CAST(7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lb JOIN aq USING (l_partkey)
+WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q4", q_tpch_q4, _Q4_SQL, "J5-semi,P7", False,
+              "TPC-H Q4 analog: EXISTS late-shipment semi-join, count per priority"),
+    QuerySpec("tpch_q13", q_tpch_q13, _Q13_SQL, "J6-outer,A8", False,
+              "TPC-H Q13: left-outer order-count distribution (two-level agg)"),
+    QuerySpec("tpch_q17", q_tpch_q17, _Q17_SQL, "J1-joinback,A5", False,
+              "TPC-H Q17: per-part avg-quantity join-back, small-order revenue"),
     QuerySpec("tpch_q22", q_tpch_q22, _Q22_SQL, "J-anti,A5-scalar", False,
               "TPC-H Q22 analog: scalar-subquery threshold + anti-join + rollup"),
     QuerySpec("tpch_q1", q_tpch_q1, _Q1_SQL, "A1-scan", True,
