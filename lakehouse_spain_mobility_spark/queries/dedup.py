@@ -168,7 +168,7 @@ HAVING COUNT(*) >= 2
 
 
 for _spec in [
-    QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), "DD-clusters", False,
+    QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), "DD-clusters", True,
               "Connected-components duplicate clusters over Jaccard>=0.5 pairs"),
     QuerySpec("dedup_pipeline", q_dedup_pipeline, _dedup_pipeline_sql(), "DD-pipeline", True,
               "End-to-end curation funnel: exact -> LSH candidates -> Jaccard verify -> keep-first"),
