@@ -93,3 +93,47 @@ def test_tpch_q3_broadcast_and_top10(spark):
     assert pi.count_broadcast_joins(df) >= 1
     plan = pi.final_plan(df)
     assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_tpch_q4_pushdown_and_semi(spark):
+    """Q4 contract: the quarter predicate reaches the orders parquet scan
+    (both branches) and the EXISTS correlate plans as a LeftSemi, never a
+    nested loop."""
+    df = REG["tpch_q4"].build(spark, SF_DIR_ORACLE)
+    pushed = pi.pushed_filters(df)
+    assert any("o_orderdate" in p for p in pushed), pushed
+    assert "LeftSemi" in pi.executed_plan(df)
+    assert pi.count_nested_loop_joins(df) == 0
+
+
+def test_tpch_q5_all_dims_broadcast(spark):
+    """Q5 contract: region/nation/supplier/customer all broadcast — the
+    only shuffle is the final per-nation aggregation."""
+    df = REG["tpch_q5"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 4
+    assert pi.count_sortmerge_joins(df) == 0
+
+
+def test_tpch_q17_brand_broadcast_joinback_shape(spark):
+    """Q17 contract: the brand-pruned part dim broadcasts; the avg
+    join-back keys both fact-sized sides on l_partkey (sort-merge is the
+    correct choice there, not a nested loop)."""
+    df = REG["tpch_q17"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 1
+    assert pi.count_nested_loop_joins(df) == 0
+    pushed = pi.pushed_filters(df)
+    assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_connected_components_round_count(spark):
+    """The near-dup graph (small cliques) must converge in <= 4 label
+    rounds — the property that bounds the CC loop's shuffle count at any
+    corpus size."""
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.operators.graph import connected_components
+
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    edges = dd.jaccard_pairs(dd.shingles(d, "doc_id", "text"), min_jaccard=0.5)
+    full = connected_components(edges.select("d1", "d2"))
+    capped = connected_components(edges.select("d1", "d2"), max_iter=4)
+    assert sorted(full.collect()) == sorted(capped.collect())
