@@ -294,7 +294,48 @@ GROUP BY event_type
 """
 
 
+# --- Unpivot / melt ----------------------------------------------------------
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: per-language document metrics unpivoted to
+    (lang, metric, value) rows — the melt a feature store or metrics
+    exporter applies before writing a tall table. ``DataFrame.unpivot``
+    (Spark ≥3.4) is a narrow zero-shuffle expansion of the already-small
+    aggregate, so the whole query costs one aggregation regardless of how
+    many metric columns are melted. Oracle uses the engine-portable
+    UNION ALL form of the same reshape."""
+    from ..functions.deterministic import davg, sql_davg  # noqa: F401
+
+    d = load(spark, sf_dir, "documents")
+    wide = d.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        davg(F.length("text").cast("double")).alias("avg_len"),
+    )
+    return wide.unpivot(["lang"], ["n_docs", "avg_chars", "avg_len"], "metric", "value")
+
+
+def _unpivot_sql() -> str:
+    from ..functions.deterministic import sql_davg
+
+    return f"""
+WITH wide AS (
+    SELECT lang,
+           CAST(COUNT(*) AS DOUBLE) AS n_docs,
+           {sql_davg('CAST(n_chars AS DOUBLE)')} AS avg_chars,
+           {sql_davg('CAST(len(text) AS DOUBLE)')} AS avg_len
+    FROM documents GROUP BY lang
+)
+SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL
+SELECT lang, 'avg_chars' AS metric, avg_chars AS value FROM wide
+UNION ALL
+SELECT lang, 'avg_len' AS metric, avg_len AS value FROM wide
+"""
+
+
 for _spec in [
+    QuerySpec("unpivot_metrics", q_unpivot_metrics, _unpivot_sql(), "F-unpivot", False,
+              "Wide-to-long melt of per-language metrics (DataFrame.unpivot)"),
     QuerySpec("window_battery", q_window_battery, _WINDOW_SQL, "W-battery", True,
               "Window-function battery: ranks, offsets, ntile, running fixed-point sum"),
     QuerySpec("set_ops", q_set_ops, _SET_OPS_SQL, "SET-distinct", False,

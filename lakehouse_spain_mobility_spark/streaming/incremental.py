@@ -151,3 +151,26 @@ def batch_attribution(events: DataFrame, horizon: str = "2 hours") -> DataFrame:
     (the parity oracle for the streaming test)."""
     views, purchases = _split_views_purchases(events)
     return attribution_join(views, purchases, horizon)
+
+
+def stream_session_windows(
+    spark: SparkSession, input_dir: str, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization: session_window merges events into
+    per-user sessions that close once ``gap`` passes without activity;
+    the watermark lets Spark finalize (and emit, in append mode) sessions
+    whose close time has passed, keeping state bounded. Streaming form of
+    the batch `sessionize` query (which cross-validates the lag+cumsum
+    formulation against this same native operator)."""
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -190,3 +190,34 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     key = lambda r: (r["view_user"], r["view_ts"], r["buy_ts"])
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
     assert got.count() > 0
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """Streaming session_window (complete mode over availableNow) must
+    reproduce the batch session_window sessions exactly."""
+    staged = _stage_events(spark, tmp_path)
+    sdf = st.stream_session_windows(spark, staged, gap="30 minutes")
+    q = (
+        sdf.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("sess_stream")
+    ev = spark.read.parquet(staged)
+    want = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+    assert got.count() > 0
