@@ -145,3 +145,44 @@ class Warehouse:
         out_cached.count()
         self.create_or_replace(name, out_cached)
         out_cached.unpersist()
+
+
+def compact_files(
+    wh: Warehouse, name: str, target_rows_per_file: int = 1_000_000
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table's parquet directory into
+    ``ceil(rows / target_rows_per_file)`` files. Streaming appends and
+    per-date batch loads (the reference's ingest pattern) accumulate
+    thousands of small files; at 100 TB that defeats scan vectorization
+    and floods the driver with file-listing work, so periodic compaction
+    is part of the maintenance surface (what OPTIMIZE does on Delta —
+    emulated here with coalesce + atomic directory swap). Returns
+    (files_before, files_after)."""
+    import math
+
+    df = wh.read(name)
+    n_rows = df.count()
+    before = len([p for p in _parquet_parts(wh.path(name))])
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    tmp = wh.path(name) + "__compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    _swap_dirs(wh.path(name), tmp)
+    after = len([p for p in _parquet_parts(wh.path(name))])
+    return before, after
+
+
+def _parquet_parts(path: str) -> list[str]:
+    import os
+
+    if not os.path.isdir(path):
+        return []
+    return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+
+def _swap_dirs(live: str, staged: str) -> None:
+    import shutil
+
+    backup = live + "__old"
+    shutil.move(live, backup)
+    shutil.move(staged, live)
+    shutil.rmtree(backup)

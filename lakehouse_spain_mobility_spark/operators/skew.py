@@ -57,3 +57,25 @@ def unsalted_aggregate(df: DataFrame, keys: Sequence[str], value_col: str) -> Da
     return df.groupBy(*list(keys)).agg(
         dsum(v).alias("total"), F.count(v).alias("n_rows")
     )
+
+
+def salted_broadcast_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-proof equi-join: the fact side gets a random salt, the
+    (small) dim side is exploded ``n_salts``× so every (key, salt)
+    combination exists, and the join keys on (key, salt). No single
+    reducer ever owns a whole hot key. When the dim fits in memory Spark
+    broadcasts it anyway (making the salt moot — broadcast joins don't
+    shuffle the fact side at all); the salted form is the fallback
+    pattern for when the dim is too big to broadcast but the fact keys
+    are skewed, and AQE's skew splitting can't see the skew (e.g. it is
+    introduced by an upstream narrow transform). Row multiplicity is
+    unchanged: each fact row matches exactly its own salt copy."""
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
+    dim_salted = dim.select("*", salts)
+    fact_salted = fact.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
+    return fact_salted.join(dim_salted, [key, "_salt"]).drop("_salt")

@@ -95,3 +95,33 @@ def test_merge_upsert(spark, tmp_path):
     # idempotent re-merge
     wh.merge_upsert("t", updates, ["id"])
     assert wh.read("t").count() == 4
+
+
+def test_salted_broadcast_join_same_rows(spark):
+    """Salting must not change join semantics: same row multiset as the
+    plain equi-join, for a skewed fact (90% one key)."""
+    from lakehouse_spain_mobility_spark.operators.skew import salted_broadcast_join
+
+    fact = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("label"))
+    got = salted_broadcast_join(fact, dim, "k", n_salts=8)
+    want = fact.join(dim, "k")
+    key = lambda r: (r["k"], r["v"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_compact_files(spark, tmp_path):
+    """64-file table compacts to the row-count-derived file budget with
+    identical contents."""
+    from lakehouse_spain_mobility_spark.catalog import Warehouse, compact_files
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 5000).select(F.col("id"), (F.col("id") % 7).alias("g"))
+    df.repartition(64).write.parquet(wh.path("frag"))
+    before, after = compact_files(wh, "frag", target_rows_per_file=2500)
+    assert before == 64 and after == 2
+    got = sorted(r["id"] for r in wh.read("frag").collect())
+    assert got == list(range(5000))
