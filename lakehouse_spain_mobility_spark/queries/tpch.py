@@ -1,6 +1,9 @@
 """TPC-H classic analogs over the synthetic tables: Q1 (pricing summary),
-Q3 (shipping priority), Q5 (local supplier volume), Q6 (forecast revenue),
-Q18 (large-volume customers). The reference has no TPC workload (SURVEY
+Q3 (shipping priority), Q4 (priority check / EXISTS), Q5 (local supplier
+volume), Q6 (forecast revenue), Q10 (returned items), Q13 (order-count
+distribution), Q14 (promo share), Q15 (top supplier), Q17 (small-quantity
+revenue), Q18 (large-volume customers), Q22 (anti-join) — 12 of the
+schema-expressible queries (no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
 §6), but these shapes — full-scan multi-aggregate, selective fact joins,
 pure filter-scan, and HAVING-gated join-back — are the canonical
 relational benchmarks, so they anchor the bench's relational story.
@@ -381,7 +384,124 @@ WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty
 """
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer in a quarter, top 20. Orders prune on the quarter first
+    (pushed to the scan), lineitem prunes on returnflag='R'; the
+    customer dim broadcasts; top-20 is TakeOrderedAndProject."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, c_acctbal, c_nationkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '1996-10-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, c_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO revenue share in one month —
+    conditional aggregate over a broadcast part join; the month predicate
+    pushes to the lineitem scan and the result is a single row. The
+    share divides two deterministic sums, so the double is portable."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / dsum(rev)
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q14_SQL = f"""
+SELECT CAST(100.0 AS DOUBLE)
+       * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-03-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1996-04-01'
+"""
+
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): per-supplier quarterly revenue, then the
+    suppliers whose revenue equals the maximum. The max is attached via a
+    broadcast 1-row cross join (the gravity-k pattern) instead of a
+    rescan; equality on the deterministic fixed-point sum is portable
+    across engines, which a raw double max-equality would not be."""
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+    SELECT l_suppkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue r
+JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q10", q_tpch_q10, _Q10_SQL, "J2,A1-topk", False,
+              "TPC-H Q10: returned-item revenue per customer, top 20"),
+    QuerySpec("tpch_q14", q_tpch_q14, _Q14_SQL, "A6-share", False,
+              "TPC-H Q14: promo revenue share (conditional agg over broadcast join)"),
+    QuerySpec("tpch_q15", q_tpch_q15, _Q15_SQL, "A5-maxeq", False,
+              "TPC-H Q15: top supplier via max-equality on deterministic sums"),
     QuerySpec("tpch_q4", q_tpch_q4, _Q4_SQL, "J5-semi,P7", False,
               "TPC-H Q4 analog: EXISTS late-shipment semi-join, count per priority"),
     QuerySpec("tpch_q13", q_tpch_q13, _Q13_SQL, "J6-outer,A8", False,
