@@ -282,3 +282,24 @@ def ann_lsh_pairs(vectors: DataFrame, n_bits: int = 8, dim: int = 64) -> DataFra
             (dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))).alias("cosine"),
         )
     )
+
+
+def sign_band_bucket(a: Column, band: int, n_bits: int = 4) -> Column:
+    """One band of a multi-table sign LSH: the sign bits of dims
+    [band*n_bits, band*n_bits + n_bits). B independent small tables
+    trade precision for recall — a neighbor is a candidate if it
+    collides in ANY band (same banding idea as MinHash LSH)."""
+    lo = band * n_bits
+    bits = [
+        F.when(F.element_at(a, lo + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+def sql_sign_band_bucket(a: str, band: int, n_bits: int = 4) -> str:
+    lo = band * n_bits
+    bits = " || ".join(
+        f"(CASE WHEN ({a})[{lo + i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+    return f"({bits})"

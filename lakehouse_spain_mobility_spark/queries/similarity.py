@@ -165,7 +165,98 @@ GROUP BY label, i
 """
 
 
+# --- ANN quality contract: LSH recall vs exact top-k -------------------------
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@5 of the sign-bit LSH index against the exact
+    brute-force top-5, over the first 50 query vectors: a neighbor is
+    "recalled" iff it landed in the query's LSH bucket. This is the
+    contract that keeps the ANN scale path honest — an index change that
+    tanks recall fails the oracle, not just a code review. Measured at
+    sf0.01: one 8-bit table recalls 1.6%; 4 bands of 4 bits recall 45.6%
+    (any-band collision), the banding trade every production LSH makes. The exact side
+    is the broadcast-numpy kernel; the bucket probe is two broadcast
+    joins of an N-row (id, bucket) table; everything downstream of the
+    kernel is a few hundred rows."""
+    n_bands = 4
+    v = _vectors(spark, sf_dir)
+    top5 = sim.knn_broadcast_numpy(v.filter(F.col("id") < 50), v, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    cols = [sim.sign_bucket(F.col("embedding"), 8).alias("b_full")] + [
+        sim.sign_band_bucket(F.col("embedding"), i, 4).alias(f"b{i}") for i in range(n_bands)
+    ]
+    b = v.select("id", *cols)
+    names = ["b_full"] + [f"b{i}" for i in range(n_bands)]
+    qb = b.select(F.col("id").alias("query_id"), *[F.col(n).alias(f"q_{n}") for n in names])
+    nb = b.select(F.col("id").alias("neighbor_id"), *[F.col(n).alias(f"n_{n}") for n in names])
+    single_hit = (F.col("q_b_full") == F.col("n_b_full")).cast("int")
+    banded_hit = F.greatest(
+        *[(F.col(f"q_b{i}") == F.col(f"n_b{i}")).cast("int") for i in range(n_bands)]
+    )
+    per_q = (
+        top5.join(F.broadcast(qb), "query_id")
+        .join(F.broadcast(nb), "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.sum(single_hit).alias("hits_1x8"),
+            F.sum(banded_hit).alias("hits_4x4"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("hits_1x8").alias("total_hits_1x8"),
+        davg(F.col("hits_1x8").cast("double") / 5.0).alias("recall_1x8"),
+        F.sum("hits_4x4").alias("total_hits_4x4"),
+        davg(F.col("hits_4x4").cast("double") / 5.0).alias("recall_4x4"),
+    )
+
+
+_ANN_RECALL_SQL = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {sim.sql_cosine('q.embedding', 'c.embedding')} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 50
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM scored
+),
+top5 AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+b AS (
+    SELECT vec_id AS id,
+           {sim.sql_sign_bucket('embedding', 8)} AS b_full,
+           {sim.sql_sign_band_bucket('embedding', 0, 4)} AS b0,
+           {sim.sql_sign_band_bucket('embedding', 1, 4)} AS b1,
+           {sim.sql_sign_band_bucket('embedding', 2, 4)} AS b2,
+           {sim.sql_sign_band_bucket('embedding', 3, 4)} AS b3
+    FROM embeddings
+),
+per_q AS (
+    SELECT t.query_id,
+           SUM(CASE WHEN qb.b_full = nb.b_full THEN 1 ELSE 0 END) AS hits_1x8,
+           SUM(CASE WHEN qb.b0 = nb.b0 OR qb.b1 = nb.b1
+                      OR qb.b2 = nb.b2 OR qb.b3 = nb.b3
+                    THEN 1 ELSE 0 END) AS hits_4x4
+    FROM top5 t
+    JOIN b qb ON t.query_id = qb.id
+    JOIN b nb ON t.neighbor_id = nb.id
+    GROUP BY t.query_id
+)
+SELECT COUNT(*) AS n_queries,
+       SUM(hits_1x8) AS total_hits_1x8,
+       {sql_davg('CAST(hits_1x8 AS DOUBLE) / CAST(5.0 AS DOUBLE)')} AS recall_1x8,
+       SUM(hits_4x4) AS total_hits_4x4,
+       {sql_davg('CAST(hits_4x4 AS DOUBLE) / CAST(5.0 AS DOUBLE)')} AS recall_4x4
+FROM per_q
+"""
+
+
 for _spec in [
+    QuerySpec("ann_recall", q_ann_recall, _ANN_RECALL_SQL, "SIM-recall", False,
+              "Measured recall@5 of sign-bit LSH vs exact top-5 (index quality contract)"),
     QuerySpec("knn_bruteforce", q_knn_bruteforce, _KNN_SQL, "SIM-knn", True,
               "Exact cosine top-5 neighbors (brute-force baseline)"),
     QuerySpec("ann_lsh", q_ann_lsh, _ANN_LSH_SQL, "SIM-lsh", False,
