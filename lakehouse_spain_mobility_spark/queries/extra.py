@@ -350,7 +350,149 @@ GROUP BY a.event_id, a.user_id
 """
 
 
+# --- Event funnel ------------------------------------------------------------
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic conversion funnel over the events stream: per user, first
+    signup → first subsequent click → first subsequent purchase, each
+    step within 24h of the previous. One groupBy(user) with conditional
+    min aggregates — no self-joins, one shuffle; the step ordering is
+    enforced by comparing the conditional minima, which is exactly how
+    funnels stay single-pass at 100 TB (min-per-type is a map-side
+    partial)."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    day = 86400 * 1000000
+    has_signup = F.col("t_signup").isNotNull()
+    step2 = (
+        has_signup
+        & F.col("t_click").isNotNull()
+        & (F.col("t_click") > F.col("t_signup"))
+        & (F.col("t_click") <= F.col("t_signup") + day)
+    )
+    step3 = (
+        step2
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_click"))
+        & (F.col("t_purchase") <= F.col("t_click") + day)
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(has_signup.cast("int")).alias("n_signup"),
+        F.sum(step2.cast("int")).alias("n_signup_click"),
+        F.sum(step3.cast("int")).alias("n_full_funnel"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+           MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup AND t_click <= t_signup + 86400000000
+                THEN 1 ELSE 0 END) AS n_signup_click,
+       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                 AND t_click > t_signup AND t_click <= t_signup + 86400000000
+                 AND t_purchase IS NOT NULL
+                 AND t_purchase > t_click AND t_purchase <= t_click + 86400000000
+                THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+"""
+
+
+# --- Table profiling (ANALYZE-style column statistics) -----------------------
+_PROFILE_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_totalprice", "num"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+]
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profile of the orders table (what ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR COLUMNS feeds the CBO, and what a data
+    catalog shows): per column — null count, distinct count, min/max
+    (typed: numeric columns in the _num fields, strings in _str). All
+    metrics come from ONE scan: a single aggregate row is checkpointed
+    and the per-column long-format rows are narrow selects over it, so
+    profiling N columns costs one pass regardless of N."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("int")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+                F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            ]
+        else:
+            aggs += [F.min(F.col(c)).alias(f"{c}__min"), F.max(F.col(c)).alias(f"{c}__max")]
+    one = o.agg(*aggs).localCheckpoint(eager=True)
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        parts.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.col("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                (F.col(f"{c}__min") if kind == "num" else F.lit(None).cast("double")).alias("min_num"),
+                (F.col(f"{c}__max") if kind == "num" else F.lit(None).cast("double")).alias("max_num"),
+                (F.col(f"{c}__min") if kind == "str" else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"{c}__max") if kind == "str" else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _profile_sql() -> str:
+    selects = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+            ms, xs = "NULL", "NULL"
+        else:
+            mn, mx = "NULL", "NULL"
+            ms, xs = f"MIN({c})", f"MAX({c})"
+        selects.append(
+            f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       {mn} AS min_num, {mx} AS max_num,
+       CAST({ms} AS VARCHAR) AS min_str, CAST({xs} AS VARCHAR) AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 for _spec in [
+    QuerySpec("table_profile", q_table_profile, _profile_sql(), "S6-profile", False,
+              "ANALYZE-style per-column statistics in one scan (long format)"),
+    QuerySpec("event_funnel", q_event_funnel, _FUNNEL_SQL, "A6-funnel", False,
+              "Single-pass signup->click->purchase conversion funnel (conditional minima)"),
     QuerySpec("range_join", q_range_join, _RANGE_JOIN_SQL, "J-range", True,
               "Bounded time-range join via interval bucketing (no per-user cross product)"),
     QuerySpec("crossmodal_join", q_crossmodal_join, _crossmodal_sql(), "MM-join", False,

@@ -235,7 +235,72 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Sequence packing (contiguous-stream bin assignment) ---------------------
+_SEQ_LEN = 2048
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard packing accounting: docs are concatenated per
+    language in doc_id order into a contiguous token stream cut into
+    2048-token sequences; each doc is attributed to the bin where it
+    starts. One window cumsum (partitioned by lang, ordered by the unique
+    doc_id — deterministic) assigns bins without any pairwise logic, so
+    packing parallelizes per language and, at 100 TB, per (lang,
+    shard-range) partition. Reports bins, docs/bin, and mean bin load."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = d.select("doc_id", "lang", n_tok.alias("n_tok"))
+    binned = toks.select(
+        "lang",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(_SEQ_LEN)).alias("bin"),
+    )
+    per_bin = binned.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+    return per_bin.groupBy("lang").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        davg(F.col("bin_tokens").cast("double")).alias("avg_bin_tokens"),
+        F.max("n_docs").alias("max_docs_per_bin"),
+    )
+
+
+_PACKING_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok FROM documents
+),
+binned AS (
+    SELECT lang, n_tok,
+           CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tok) / {_SEQ_LEN}) AS BIGINT) AS bin
+    FROM toks
+),
+per_bin AS (
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+    FROM binned GROUP BY lang, bin
+)
+SELECT lang,
+       COUNT(*) AS n_bins,
+       SUM(n_docs) AS n_docs,
+       SUM(bin_tokens) AS total_tokens,
+       {sql_davg('CAST(bin_tokens AS DOUBLE)')} AS avg_bin_tokens,
+       MAX(n_docs) AS max_docs_per_bin
+FROM per_bin
+GROUP BY lang
+"""
+
+
 for _spec in [
+    QuerySpec("sequence_packing", q_sequence_packing, _PACKING_SQL, "ML-packing", False,
+              "Contiguous-stream sequence packing accounting via window cumsum"),
     QuerySpec("kmeans_clusters", q_kmeans_clusters, None, "ML-cluster", False,
               "Iterative k-means (Lloyd) cluster sizes + inertia (rows-only)"),
     QuerySpec("train_test_split", q_train_test_split, _SPLIT_SQL, "ML-split", False,

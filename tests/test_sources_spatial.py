@@ -159,3 +159,38 @@ def test_polygon_predicate_udf_variants(spark):
     assert got["contains"] == {"inside"}
     assert got["within"] == set()
     assert got["overlaps"] == {"straddle"}
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC is the second columnar format Spark ships a vectorized
+    reader/writer for; verify the full fidelity loop (types incl.
+    timestamp) and predicate pushdown survive the format switch."""
+    from lakehouse_spain_mobility_spark.queries.tables import load
+    from lakehouse_spain_mobility_spark.plans import inspect as pi
+    import pyspark.sql.functions as F
+
+    src = load(spark, "/root/testdata/sf0.001", "orders")
+    p = str(tmp_path / "orders_orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("o_orderkey") < 100).select("o_orderkey")
+    pushed = pi.pushed_filters(filtered)
+    assert any("o_orderkey" in f for f in pushed), pushed
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSON-lines write/read with explicit schema on read (schema
+    inference costs an extra pass — production path always supplies
+    one)."""
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    src = load(spark, "/root/testdata/sf0.001", "documents")
+    p = str(tmp_path / "docs_jsonl")
+    src.write.json(p)
+    back = spark.read.schema(src.schema).json(p)
+    assert back.count() == src.count()
+    a = sorted(r["doc_id"] for r in src.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    assert a == b
