@@ -28,9 +28,13 @@ def main() -> None:
     total = 0.0
     for spec in bench_specs:
         # One warmup run amortizes JVM/codegen compilation, then measure.
-        spec.build(spark, sf_dir).count()
+        # collect(), not count(): count() lets Catalyst prune the output
+        # expressions (aggregate values are never computed), which
+        # under-measures the declared query; collect() materializes the
+        # same rows DuckDB's fetchall does.
+        spec.build(spark, sf_dir).collect()
         t0 = time.perf_counter()
-        n = spec.build(spark, sf_dir).count()
+        n = len(spec.build(spark, sf_dir).collect())
         dt = time.perf_counter() - t0
         timings[spec.name] = round(dt, 3)
         total += dt
