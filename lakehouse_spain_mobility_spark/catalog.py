@@ -186,3 +186,50 @@ def _swap_dirs(live: str, staged: str) -> None:
     shutil.move(live, backup)
     shutil.move(staged, live)
     shutil.rmtree(backup)
+
+
+# --- Snapshots / time travel (DuckLake's snapshot model, emulated) -----------
+# The reference sits on DuckLake, whose catalog keeps every table version
+# as an immutable snapshot. Same model here: each snapshot_replace writes
+# an immutable v{N} directory and flips a _CURRENT pointer — readers of
+# older versions are never disturbed (writer-isolated, atomic pointer),
+# and rollback is a pointer flip, not a data rewrite. This is what Delta
+# time travel does with its transaction log, reduced to the parquet-dir
+# warehouse this engine tests against.
+def snapshot_replace(wh: Warehouse, name: str, df: DataFrame) -> int:
+    base = wh.path(name) + "__snapshots"
+    os.makedirs(base, exist_ok=True)
+    version = max(snapshot_versions(wh, name), default=-1) + 1
+    df.write.mode("overwrite").parquet(os.path.join(base, f"v{version}"))
+    _write_pointer(base, version)
+    return version
+
+
+def snapshot_versions(wh: Warehouse, name: str) -> list[int]:
+    base = wh.path(name) + "__snapshots"
+    if not os.path.isdir(base):
+        return []
+    return sorted(
+        int(d[1:]) for d in os.listdir(base) if d.startswith("v") and d[1:].isdigit()
+    )
+
+
+def snapshot_read(wh: Warehouse, name: str, version: int | None = None) -> DataFrame:
+    base = wh.path(name) + "__snapshots"
+    if version is None:
+        with open(os.path.join(base, "_CURRENT")) as f:
+            version = int(f.read().strip())
+    return wh.spark.read.parquet(os.path.join(base, f"v{version}"))
+
+
+def snapshot_rollback(wh: Warehouse, name: str, version: int) -> None:
+    if version not in snapshot_versions(wh, name):
+        raise ValueError(f"no snapshot v{version} of {name}")
+    _write_pointer(wh.path(name) + "__snapshots", version)
+
+
+def _write_pointer(base: str, version: int) -> None:
+    tmp = os.path.join(base, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic on POSIX

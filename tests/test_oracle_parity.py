@@ -18,3 +18,21 @@ def test_query_matches_oracle(spark, spec):
     res = compare(spark, spec, SF_DIR_ORACLE)
     assert res.match, f"{spec.name}: {res.detail}"
     assert res.rows > 0, f"{spec.name}: empty result"
+
+
+def test_sql_api_equivalence_tpch_q1(spark):
+    """The engine's SQL surface: the same query text (modulo DuckDB's
+    VARCHAR spelling) run through spark.sql over registered temp views
+    must produce exactly the DataFrame-API result — one logical plan,
+    two front-ends."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    reg = load_all()
+    for t in ["lineitem"]:
+        load(spark, SF_DIR_ORACLE, t).createOrReplaceTempView(t)
+    sql_text = reg["tpch_q1"].oracle.replace("AS VARCHAR", "AS STRING")
+    got = spark.sql(sql_text)
+    want = reg["tpch_q1"].build(spark, SF_DIR_ORACLE)
+    key = lambda r: (r["l_returnflag"], r["l_linestatus"])
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)

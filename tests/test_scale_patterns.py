@@ -125,3 +125,26 @@ def test_compact_files(spark, tmp_path):
     assert before == 64 and after == 2
     got = sorted(r["id"] for r in wh.read("frag").collect())
     assert got == list(range(5000))
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """DuckLake-style snapshots: versions are immutable, the current
+    pointer flips atomically, rollback never rewrites data."""
+    from lakehouse_spain_mobility_spark.catalog import (
+        Warehouse,
+        snapshot_read,
+        snapshot_replace,
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v0 = snapshot_replace(wh, "t", spark.range(0, 100))
+    v1 = snapshot_replace(wh, "t", spark.range(0, 50))
+    assert (v0, v1) == (0, 1)
+    assert snapshot_versions(wh, "t") == [0, 1]
+    assert snapshot_read(wh, "t").count() == 50          # current = v1
+    assert snapshot_read(wh, "t", version=0).count() == 100  # time travel
+    snapshot_rollback(wh, "t", 0)
+    assert snapshot_read(wh, "t").count() == 100
+    assert snapshot_read(wh, "t", version=1).count() == 50   # v1 intact
