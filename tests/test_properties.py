@@ -91,3 +91,40 @@ def test_kmeans_invariants(spark):
 
     _, hist2 = kmeans(e, "vec_id", "embedding", k=8, iters=4)
     assert hist == hist2  # rerun determinism
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation must agree with a pure-Python
+    union-find on arbitrary small graphs (chains, cliques, cycles,
+    disconnected pieces — whatever hypothesis finds)."""
+    from lakehouse_spain_mobility_spark.operators.graph import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
+    got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
