@@ -40,7 +40,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
     — exactly what DuckDB's reader does (its TIMESTAMP is µs)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # nanosAsLong only fires on TIMESTAMP(NANOS) files; a re-staged copy
+    # (tests, downstream tables) already reads as a real timestamp and
+    # must pass through untouched.
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
