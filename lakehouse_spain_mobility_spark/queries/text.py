@@ -427,7 +427,94 @@ GROUP BY lang
 """
 
 
+# --- Benchmark decontamination -----------------------------------------------
+_DECON_W = 8  # gram width, the usual decontamination n
+_DECON_BENCH = 20  # doc_id < 20 stands in for the benchmark set
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing at
+    least one word-8-gram with the held-out benchmark set (docs with
+    doc_id < 20 stand in for it) — the overlap check LLM pipelines run
+    before training so eval data never leaks into the corpus. The
+    benchmark gram set is tiny and broadcast; the training side is one
+    explode → semi-join → distinct-doc aggregate, so the corpus is
+    touched once and nothing is quadratic. Per-language counts plus the
+    contaminated-doc rate."""
+    w = _DECON_W
+    d = load(spark, sf_dir, "documents")
+
+    def grams(df):
+        words = F.split(F.col("text"), " ")
+        # the size filter matters: Spark's sequence(1, n) DESCENDS for
+        # n < 1 while DuckDB's generate_series is empty — sub-w docs
+        # must be excluded, not relied on to vanish
+        return (
+            df.filter(F.size(words) >= w)
+            .select(
+                "doc_id",
+                "lang",
+                words.alias("w"),
+                F.explode(F.sequence(F.lit(1), F.size(words) - (w - 1))).alias("i"),
+            )
+            .select("doc_id", "lang", F.concat_ws(" ", F.slice("w", F.col("i"), w)).alias("g"))
+        )
+
+    bench_grams = (
+        grams(d.filter(F.col("doc_id") < _DECON_BENCH)).select("g").distinct()
+    )
+    train = d.filter(F.col("doc_id") >= _DECON_BENCH)
+    contaminated = (
+        grams(train)
+        .join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contaminated", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("is_contaminated"), F.lit(0))).alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("is_contaminated"), F.lit(0))).cast("double")
+                / F.count("*")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+_DECON_SQL = f"""
+WITH g AS (
+    SELECT doc_id, lang,
+           array_to_string(w[i:i+{_DECON_W - 1}], ' ') AS g
+    FROM (
+        SELECT doc_id, lang, w,
+               unnest(generate_series(1, len(w) - {_DECON_W - 1})) AS i
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    )
+),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id < {_DECON_BENCH}),
+contaminated AS (
+    SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)
+    WHERE g.doc_id >= {_DECON_BENCH}
+)
+SELECT lang,
+       COUNT(*) AS n_train_docs,
+       SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+           AS contamination_rate
+FROM documents d
+LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+WHERE d.doc_id >= {_DECON_BENCH}
+GROUP BY lang
+"""
+
+
 for _spec in [
+    QuerySpec("decontamination", q_decontamination, _DECON_SQL, "TXT-decontam", False,
+              "Benchmark 8-gram overlap decontamination (broadcast bench grams)"),
     QuerySpec("repetition_quality", q_repetition_quality, _REPETITION_SQL, "TXT-gopher", False,
               "Gopher-style duplicate/top-bigram repetition quality flags per language"),
     QuerySpec("pii_scrub", q_pii_scrub, _PII_SQL, "TXT-pii", False,
