@@ -254,7 +254,57 @@ FROM per_q
 """
 
 
+# --- Embedding near-dup clusters (composition: similarity -> graph) ----------
+_EMB_DUP_THRESHOLD = 0.4
+
+
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup composition: high-cosine pairs (broadcast-numpy
+    kernel; threshold 0.4 = the top ~0.1% tail of this corpus, whose
+    max pair cosine is 0.51) closed into clusters by connected components, reported as
+    cluster sizes — the embedding-space analog of dedup_clusters, and the
+    op a semantic dedup (SemDeDup-style) runs before keep-one-per-cluster.
+    The pair stage is the only O(n²)-risk step and at scale is replaced by
+    the banded-LSH candidate generator (ann_lsh); the CC loop is bounded
+    shuffles either way."""
+    from ..operators.graph import connected_components
+
+    v = _vectors(spark, sf_dir)
+    pairs = sim.topk_pairs_broadcast_numpy(v, k=200).filter(
+        F.col("cosine") >= _EMB_DUP_THRESHOLD
+    )
+    cc = connected_components(pairs.select("v1", "v2"), src="v1", dst="v2")
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_vectors"))
+        .filter(F.col("n_vectors") >= 2)
+    )
+
+
+def _embedding_dup_sql() -> str:
+    from ..operators.graph import sql_connected_components
+
+    edges = f"""
+    SELECT v1, v2 FROM (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               {sim.sql_cosine('a.embedding', 'b.embedding')} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY cosine DESC, v1, v2
+        LIMIT 200
+    ) WHERE cosine >= {_EMB_DUP_THRESHOLD}"""
+    cc = sql_connected_components(edges, src="v1", dst="v2")
+    return f"""
+SELECT component, COUNT(*) AS n_vectors
+FROM ({cc}) cc
+GROUP BY component
+HAVING COUNT(*) >= 2
+"""
+
+
 for _spec in [
+    QuerySpec("embedding_dup_clusters", q_embedding_dup_clusters, _embedding_dup_sql(),
+              "SIM-semdedup", False,
+              "Semantic dedup: cosine>=0.9 pairs closed into CC clusters"),
     QuerySpec("ann_recall", q_ann_recall, _ANN_RECALL_SQL, "SIM-recall", False,
               "Measured recall@5 of sign-bit LSH vs exact top-5 (index quality contract)"),
     QuerySpec("knn_bruteforce", q_knn_bruteforce, _KNN_SQL, "SIM-knn", True,
