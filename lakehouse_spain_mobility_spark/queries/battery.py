@@ -333,7 +333,47 @@ SELECT lang, 'avg_len' AS metric, avg_len AS value FROM wide
 """
 
 
+# --- Sliding (overlapping) windows -------------------------------------------
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 6h windows sliding every 3h: each event lands in
+    exactly size/slide = 2 windows (epoch-aligned, like Spark's native
+    F.window). The oracle reproduces the assignment by enumerating the 2
+    aligned starts per event — proving the native operator's semantics
+    rather than assuming them. Spark-side this is a single groupBy (the
+    window expansion is a narrow generator), one shuffle on (start,
+    event_type)."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours", "3 hours")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+WITH starts AS (
+    SELECT event_type, value,
+           (CAST(floor(epoch_us(ts) / 10800000000) AS BIGINT) - i) * 10800000000
+               AS win_start_us
+    FROM events, (SELECT unnest(generate_series(0, 1)) AS i)
+)
+SELECT win_start_us, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM starts
+GROUP BY win_start_us, event_type
+"""
+
+
 for _spec in [
+    QuerySpec("sliding_window", q_sliding_window, _SLIDING_SQL, "W-sliding", False,
+              "Overlapping 6h/3h sliding windows, oracle enumerates the aligned starts"),
     QuerySpec("unpivot_metrics", q_unpivot_metrics, _unpivot_sql(), "F-unpivot", False,
               "Wide-to-long melt of per-language metrics (DataFrame.unpivot)"),
     QuerySpec("window_battery", q_window_battery, _WINDOW_SQL, "W-battery", True,
