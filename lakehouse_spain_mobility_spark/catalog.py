@@ -233,3 +233,44 @@ def _write_pointer(base: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(base, "_CURRENT"))  # atomic on POSIX
+
+
+def snapshot_vacuum(wh: Warehouse, name: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshot versions
+    (never the current pointer's target). Returns removed versions. The
+    Delta VACUUM analog for the snapshot dirs — at 100 TB, unreferenced
+    versions are the dominant storage cost of frequent full refreshes."""
+    base = wh.path(name) + "__snapshots"
+    versions = snapshot_versions(wh, name)
+    with open(os.path.join(base, "_CURRENT")) as f:
+        current = int(f.read().strip())
+    keep = set(versions[-keep_last:]) | {current}
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(base, f"v{v}"))
+            removed.append(v)
+    return removed
+
+
+def snapshot_publish_audited(
+    wh: Warehouse, name: str, df: DataFrame, audits: list
+) -> int:
+    """Write-audit-publish: the new version directory is written and
+    AUDITED before the pointer flips — a failing audit raises and leaves
+    the staged (unpublished) version on disk for inspection while every
+    reader still sees the old current. ``audits`` are callables
+    DataFrame -> (ok: bool, msg: str) evaluated against the staged data
+    as re-read from disk (what readers would actually get)."""
+    base = wh.path(name) + "__snapshots"
+    os.makedirs(base, exist_ok=True)
+    version = max(snapshot_versions(wh, name), default=-1) + 1
+    staged = os.path.join(base, f"v{version}")
+    df.write.mode("overwrite").parquet(staged)
+    staged_df = wh.spark.read.parquet(staged)
+    for audit in audits:
+        ok, msg = audit(staged_df)
+        if not ok:
+            raise ValueError(f"audit failed for {name} v{version}: {msg}")
+    _write_pointer(base, version)
+    return version

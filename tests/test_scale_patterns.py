@@ -177,3 +177,35 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     ]:
         rows = reg[name].build(spark, empty_dir).collect()  # must not raise
         assert isinstance(rows, list)
+
+
+def test_snapshot_vacuum_and_write_audit_publish(spark, tmp_path):
+    """WAP: a failing audit must leave the current pointer untouched;
+    vacuum must never remove the current version."""
+    import pytest
+
+    from lakehouse_spain_mobility_spark.catalog import (
+        Warehouse,
+        snapshot_publish_audited,
+        snapshot_read,
+        snapshot_replace,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    not_empty = lambda df: (df.count() > 0, "empty table")
+    v0 = snapshot_publish_audited(wh, "t", spark.range(0, 10), [not_empty])
+    assert v0 == 0 and snapshot_read(wh, "t").count() == 10
+
+    with pytest.raises(ValueError, match="audit failed"):
+        snapshot_publish_audited(wh, "t", spark.range(0, 0), [not_empty])
+    assert snapshot_read(wh, "t").count() == 10      # pointer untouched
+    assert snapshot_versions(wh, "t") == [0, 1]      # staged version on disk
+
+    for n in (20, 30, 40):
+        snapshot_replace(wh, "t", spark.range(0, n))
+    removed = snapshot_vacuum(wh, "t", keep_last=2)
+    assert set(removed) == {0, 1, 2}
+    assert snapshot_read(wh, "t").count() == 40      # current survives
+    assert snapshot_versions(wh, "t") == [3, 4]
