@@ -25,7 +25,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 (the planted near-dup
     threshold in the corpus)."""
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text")
+    # three consumers of the shingle frame (sizes + both join sides):
+    # materialize once instead of re-exploding the corpus per consumer
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
     return dd.jaccard_pairs(sh, min_jaccard=0.5)
 
 
@@ -153,7 +155,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    edges = dd.jaccard_pairs(dd.shingles(d, "doc_id", "text"), min_jaccard=0.5)
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    edges = dd.jaccard_pairs(sh, min_jaccard=0.5)
     cc = connected_components(edges.select("d1", "d2"))
     return (
         cc.groupBy("component")
