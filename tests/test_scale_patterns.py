@@ -209,3 +209,36 @@ def test_snapshot_vacuum_and_write_audit_publish(spark, tmp_path):
     assert set(removed) == {0, 1, 2}
     assert snapshot_read(wh, "t").count() == 40      # current survives
     assert snapshot_versions(wh, "t") == [3, 4]
+
+
+def test_sharded_export_max_records_per_file(spark, tmp_path):
+    """Training-shard export: maxRecordsPerFile bounds shard size without
+    a repartition shuffle — the writer splits files as it goes."""
+    import os
+
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    docs.coalesce(1).write.option("maxRecordsPerFile", 100).parquet(out)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) >= n // 100
+    assert spark.read.parquet(out).count() == n
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Appends with added columns (the schema-drift every long-lived
+    table suffers) must be readable with mergeSchema: old rows NULL-fill
+    the new column."""
+    import pyspark.sql.functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 10).select("id").write.parquet(p)
+    spark.range(10, 20).select("id", (F.col("id") * 2).alias("extra")).write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "extra"}
+    assert merged.count() == 20
+    assert merged.filter(F.col("extra").isNull()).count() == 10
