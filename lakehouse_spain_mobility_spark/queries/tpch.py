@@ -2,7 +2,8 @@
 Q3 (shipping priority), Q4 (priority check / EXISTS), Q5 (local supplier
 volume), Q6 (forecast revenue), Q10 (returned items), Q13 (order-count
 distribution), Q14 (promo share), Q15 (top supplier), Q17 (small-quantity
-revenue), Q18 (large-volume customers), Q22 (anti-join) — 12 of the
+revenue), Q18 (large-volume customers), Q22 (anti-join), Q7 (bilateral trade),
+Q19 (disjunction-of-conjunctions) — 14 of the
 schema-expressible queries (no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
 §6), but these shapes — full-scan multi-aggregate, selective fact joins,
 pure filter-scan, and HAVING-gated join-back — are the canonical
@@ -495,7 +496,95 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between NATION_1 and
+    NATION_2 — revenue by (supplier nation, customer nation, ship year)
+    where the two nations differ and both belong to the pair. The
+    symmetric OR join predicate is pre-filtered on both dims (each
+    broadcast), so the fact side is touched once; the year comes from
+    l_shipdate, grouped after the joins."""
+    pair = ["NATION_1", "NATION_2"]
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("s_nk"),
+    )
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("c_nk"),
+    )
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s.select("s_suppkey", "supp_nation")), l.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "cust_nation")), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year(F.to_date("l_shipdate")).alias("l_year"))
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume')} AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           year(CAST(l.l_shipdate AS DATE)) AS l_year,
+           l.l_extendedprice * (1 - l.l_discount) AS volume
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+      AND nc.n_name IN ('NATION_1', 'NATION_2')
+      AND ns.n_name <> nc.n_name
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted to the available columns:
+    revenue from lines matching ANY of three (brand, size-range,
+    quantity-range) conjunctive clauses — the classic disjunction-of-
+    conjunctions predicate. Authored as one OR filter AFTER the broadcast
+    part join: Catalyst pushes the common l_quantity bounds and the
+    per-clause p_brand/p_size predicates stay evaluable post-join without
+    multiplying the fact scan (the Q19 trap is rewriting as three UNIONed
+    scans)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    clause1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & F.col("l_quantity").between(1, 11)
+    clause2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20)
+    clause3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(clause1 | clause2 | clause3).agg(
+        dsum(rev).alias("revenue"), F.count("*").alias("n_lines")
+    )
+
+
+_Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q7", q_tpch_q7, _Q7_SQL, "J2-bilateral", False,
+              "TPC-H Q7: bilateral nation trade volume by ship year"),
+    QuerySpec("tpch_q19", q_tpch_q19, _Q19_SQL, "P-disjunction", False,
+              "TPC-H Q19 analog: disjunction-of-conjunctions predicate, single scan"),
     QuerySpec("tpch_q10", q_tpch_q10, _Q10_SQL, "J2,A1-topk", False,
               "TPC-H Q10: returned-item revenue per customer, top 20"),
     QuerySpec("tpch_q14", q_tpch_q14, _Q14_SQL, "A6-share", False,
