@@ -3,7 +3,7 @@ Q3 (shipping priority), Q4 (priority check / EXISTS), Q5 (local supplier
 volume), Q6 (forecast revenue), Q10 (returned items), Q13 (order-count
 distribution), Q14 (promo share), Q15 (top supplier), Q17 (small-quantity
 revenue), Q18 (large-volume customers), Q22 (anti-join), Q7 (bilateral trade),
-Q19 (disjunction-of-conjunctions) — 14 of the
+Q19 (disjunction-of-conjunctions), Q8 (market share) — 15 of the
 schema-expressible queries (no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
 §6), but these shapes — full-scan multi-aggregate, selective fact joins,
 pure filter-scan, and HAVING-gated join-back — are the canonical
@@ -580,7 +580,63 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETW
 """
 
 
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_1's share of revenue
+    among ASIA-customer orders per order year. The share is a
+    conditional sum over the joined fact divided by the total — one
+    aggregation, no self-join; supplier nation arrives pre-joined on the
+    broadcast supplier dim. Share divides two deterministic sums, so the
+    double is engine-portable."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi"
+    )
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(s.select("s_suppkey", "supp_nation")), l.l_suppkey == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy(F.year(F.to_date("o_orderdate")).alias("o_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q8_SQL = f"""
+SELECT year(CAST(o.o_orderdate AS DATE)) AS o_year,
+       {sql_dsum("CASE WHEN ns.n_name = 'NATION_1' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")}
+       / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+JOIN region r ON nc.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY o_year
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q8", q_tpch_q8, _Q8_SQL, "A6-share,J2", False,
+              "TPC-H Q8: national market share per order year (single-pass share)"),
     QuerySpec("tpch_q7", q_tpch_q7, _Q7_SQL, "J2-bilateral", False,
               "TPC-H Q7: bilateral nation trade volume by ship year"),
     QuerySpec("tpch_q19", q_tpch_q19, _Q19_SQL, "P-disjunction", False,
