@@ -174,3 +174,30 @@ def stream_session_windows(
             "n_events",
         )
     )
+
+
+def stream_audited_snapshots(
+    spark: SparkSession, input_dir: str, wh: Warehouse, table: str, checkpoint_dir: str, audits: list
+):
+    """Streaming write-audit-publish: every micro-batch aggregates the
+    events seen so far into a fresh snapshot version that only becomes
+    current if the audits pass (catalog.snapshot_publish_audited) — the
+    streaming form of the reference's QA-test-between-hops pattern
+    (dags/*/test_*.py run as DAG tasks). A failing batch raises inside
+    foreachBatch, stopping the query instead of publishing bad data."""
+    from ..catalog import snapshot_publish_audited
+
+    events = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+
+    def publish(batch_df: DataFrame, epoch_id: int) -> None:
+        summary = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+        )
+        snapshot_publish_audited(wh, table, summary, audits)
+
+    return (
+        events.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -221,3 +221,35 @@ def test_stream_session_windows_match_batch(spark, tmp_path):
     key = lambda r: (r["user_id"], r["session_start"])
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
     assert got.count() > 0
+
+
+def test_stream_audited_snapshot_publish(spark, tmp_path):
+    """The streaming WAP hop publishes a snapshot per micro-batch when
+    audits pass, and a poisoned audit never flips the current pointer."""
+    from lakehouse_spain_mobility_spark.catalog import (
+        Warehouse,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    staged = _stage_events(spark, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ok_audit = lambda df: (df.count() > 0, "empty summary")
+    q = st.stream_audited_snapshots(
+        spark, staged, wh, "event_summary", str(tmp_path / "ck1"), [ok_audit]
+    )
+    q.awaitTermination(120)
+    assert snapshot_versions(wh, "event_summary") == [0]
+    assert snapshot_read(wh, "event_summary").count() == 5  # 5 event types
+
+    bad_audit = lambda df: (False, "poisoned")
+    q2 = st.stream_audited_snapshots(
+        spark, staged, wh, "event_summary", str(tmp_path / "ck2"), [bad_audit]
+    )
+    try:
+        q2.awaitTermination(120)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+    assert snapshot_read(wh, "event_summary").count() == 5  # still v0
