@@ -488,7 +488,55 @@ FROM orders"""
     return "\nUNION ALL\n".join(selects)
 
 
+# --- Cohort retention --------------------------------------------------------
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort_week, weeks_since) cell, the count of
+    distinct users still active. Two aggregations — first-event per user
+    (map-side partial min), then the cell rollup — and a broadcast-sized
+    join of the per-user cohort back onto events; both engines truncate
+    weeks to ISO Monday so the keys agree."""
+    ev = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    cohort = first.select(
+        "user_id", F.date_trunc("week", "first_d").cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "d").cast("date").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+_COHORT_SQL = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, MIN(d) AS first_d FROM ev GROUP BY user_id),
+cohort AS (
+    SELECT user_id, CAST(date_trunc('week', first_d) AS DATE) AS cohort_week FROM first
+),
+activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', d) AS DATE) AS activity_week FROM ev
+)
+SELECT c.cohort_week,
+       CAST(date_diff('day', c.cohort_week, a.activity_week) / 7 AS INTEGER) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active_users
+FROM activity a
+JOIN cohort c ON a.user_id = c.user_id
+GROUP BY c.cohort_week, weeks_since
+"""
+
+
 for _spec in [
+    QuerySpec("cohort_retention", q_cohort_retention, _COHORT_SQL, "A-cohort", False,
+              "Weekly cohort x weeks-since retention matrix (distinct active users)"),
     QuerySpec("table_profile", q_table_profile, _profile_sql(), "S6-profile", False,
               "ANALYZE-style per-column statistics in one scan (long format)"),
     QuerySpec("event_funnel", q_event_funnel, _FUNNEL_SQL, "A6-funnel", False,

@@ -3,7 +3,8 @@ Q3 (shipping priority), Q4 (priority check / EXISTS), Q5 (local supplier
 volume), Q6 (forecast revenue), Q10 (returned items), Q13 (order-count
 distribution), Q14 (promo share), Q15 (top supplier), Q17 (small-quantity
 revenue), Q18 (large-volume customers), Q22 (anti-join), Q7 (bilateral trade),
-Q19 (disjunction-of-conjunctions), Q8 (market share) — 15 of the
+Q19 (disjunction-of-conjunctions), Q8 (market share), Q12 (lateness
+buckets) — 16 of the
 schema-expressible queries (no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
 §6), but these shapes — full-scan multi-aggregate, selective fact joins,
 pure filter-scan, and HAVING-gated join-back — are the canonical
@@ -634,7 +635,44 @@ GROUP BY o_year
 """
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping-mode priority check), adapted: no l_shipmode,
+    so the grouping key is lateness bucket (shipped >30d after order vs
+    not) and the measures are the classic urgent/non-urgent conditional
+    counts. One join (orders projected to 3 columns), one aggregation;
+    the CASE measures are codegen'd, no second pass."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 30
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(late.alias("shipped_late"))
+        .agg(
+            F.sum(urgent.cast("int")).alias("high_line_count"),
+            F.sum((~urgent).cast("int")).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT (date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) > 30)
+           AS shipped_late,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+           AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY shipped_late
+"""
+
+
 for _spec in [
+    QuerySpec("tpch_q12", q_tpch_q12, _Q12_SQL, "A6-buckets", False,
+              "TPC-H Q12 analog: lateness buckets x urgent/non-urgent conditional counts"),
     QuerySpec("tpch_q8", q_tpch_q8, _Q8_SQL, "A6-share,J2", False,
               "TPC-H Q8: national market share per order year (single-pass share)"),
     QuerySpec("tpch_q7", q_tpch_q7, _Q7_SQL, "J2-bilateral", False,
