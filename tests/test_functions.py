@@ -83,3 +83,23 @@ def test_connected_components_chain_merge(spark):
     )
     got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+
+def test_from_json_matches_get_json_object(spark):
+    """Schema-ful from_json and path-based get_json_object must extract
+    identical values from events.props (the two JSON surfaces §2.8 maps
+    to)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    schema = T.StructType([T.StructField("k", T.DoubleType())])
+    both = ev.select(
+        F.get_json_object("props", "$.k").cast("double").alias("path_k"),
+        F.from_json("props", schema).getField("k").alias("struct_k"),
+    )
+    assert both.filter(
+        ~(F.col("path_k").eqNullSafe(F.col("struct_k")))
+    ).count() == 0

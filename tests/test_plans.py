@@ -137,3 +137,14 @@ def test_connected_components_round_count(spark):
     full = connected_components(edges.select("d1", "d2"))
     capped = connected_components(edges.select("d1", "d2"), max_iter=4)
     assert sorted(full.collect()) == sorted(capped.collect())
+
+
+def test_tpch_q10_single_shuffle_topk(spark):
+    """Q10 contract: both joins broadcast (the fact never shuffles for a
+    join), exactly one exchange (the customer-key aggregation), and the
+    top-20 is TakeOrderedAndProject, not a global sort."""
+    df = REG["tpch_q10"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 2
+    assert pi.count_sortmerge_joins(df) == 0
+    assert pi.count_shuffles(df) == 1
+    assert "TakeOrderedAndProject" in pi.executed_plan(df)
