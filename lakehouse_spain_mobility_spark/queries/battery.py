@@ -371,7 +371,80 @@ GROUP BY win_start_us, event_type
 """
 
 
+# --- Rolling time-range window frame -----------------------------------------
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling aggregate: per event, the count and
+    fixed-point sum of the same type's events in the trailing hour —
+    a true time-range frame (peers by value distance, not row offset),
+    ordered on epoch micros so both engines frame identically. One
+    shuffle on event_type; the frame scan is sort-local within each
+    partition."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    hour = 3600 * 1000000
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(us.alias("us"))
+        .rangeBetween(-hour, Window.currentRow)
+    )
+    rolling_dec = F.sum(
+        F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        (rolling_dec.cast("string").cast("double") / F.lit(1000000.0)).alias(
+            "sum_trailing_hour"
+        ),
+    )
+
+
+_ROLLING_SQL = """
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS n_trailing_hour,
+       (CAST(CAST(SUM(CAST(ROUND(value * 1000000.0) AS DECIMAL(38,0))) OVER w
+             AS VARCHAR) AS DOUBLE) / 1000000.0) AS sum_trailing_hour
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- Approximate quantile contract -------------------------------------------
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch quantiles: percentile_approx (GK sketch) vs the
+    exact interpolated median, contract-checked within 10% per event
+    type. The sketches differ across engines (GK vs t-digest), so the
+    oracle compares (exact value, bound-holds boolean) — both
+    deterministic. At 100 TB the sketch is the only option: it merges
+    map-side; the exact quantile shuffles every value."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    exact = F.expr("percentile(value, 0.5)")
+    approx = F.percentile_approx("value", 0.5)
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_p50"),
+        (F.abs(approx - exact) <= 0.10 * F.abs(exact)).alias("within_10pct"),
+    )
+
+
+_APPROX_QUANTILE_SQL = """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS exact_p50,
+       ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+           <= 0.10 * ABS(quantile_cont(value, 0.5)) AS within_10pct
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 for _spec in [
+    QuerySpec("approx_quantile", q_approx_quantile, _APPROX_QUANTILE_SQL, "A-approxq", False,
+              "Approximate-median sketch contract vs exact interpolated percentile"),
+    QuerySpec("rolling_time_window", q_rolling_time_window, _ROLLING_SQL, "W-range", False,
+              "Trailing-hour RANGE-frame rolling count/sum per event type"),
     QuerySpec("sliding_window", q_sliding_window, _SLIDING_SQL, "W-sliding", False,
               "Overlapping 6h/3h sliding windows, oracle enumerates the aligned starts"),
     QuerySpec("unpivot_metrics", q_unpivot_metrics, _unpivot_sql(), "F-unpivot", False,

@@ -242,3 +242,21 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "extra"}
     assert merged.count() == 20
     assert merged.filter(F.col("extra").isNull()).count() == 10
+
+
+def test_partition_diagnostics(spark):
+    """partition_sizes must account for every row; skew_factor must call
+    out a hash-partitioned hot key and clear a balanced repartition."""
+    from lakehouse_spain_mobility_spark.operators.diagnostics import (
+        partition_sizes,
+        skew_factor,
+    )
+
+    skewed = spark.range(0, 10000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id")).alias("k")
+    ).repartition(8, "k")
+    sizes = {r["partition_id"]: r["n_rows"] for r in partition_sizes(skewed).collect()}
+    assert sum(sizes.values()) == 10000
+    assert skew_factor(skewed) > 4.0          # 90% of rows share one key
+    balanced = spark.range(0, 10000).repartition(8)
+    assert skew_factor(balanced) < 1.5
