@@ -36,3 +36,24 @@ def test_sql_api_equivalence_tpch_q1(spark):
     want = reg["tpch_q1"].build(spark, SF_DIR_ORACLE)
     key = lambda r: (r["l_returnflag"], r["l_linestatus"])
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+def test_results_invariant_to_partitioning(spark):
+    """The determinism contract that makes a 1000-executor run reproduce
+    a laptop run: the same query at different shuffle-partition counts
+    (different aggregation orders) must produce IDENTICAL doubles, not
+    merely close ones."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    reg = load_all()
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(map(tuple, reg["tpch_q1"].build(spark, SF_DIR_ORACLE).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = sorted(map(tuple, reg["tpch_q1"].build(spark, SF_DIR_ORACLE).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert a == b
