@@ -179,7 +179,56 @@ HAVING COUNT(*) >= 2
 """
 
 
+# --- Edit-distance verification of LSH candidates ----------------------------
+_EDIT_PREFIX = 120  # chars compared; bounds the O(m·n) DP per pair
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second verification signal for LSH candidate pairs: Levenshtein
+    distance over the first 120 chars (both engines implement the same
+    classic DP), normalized by the longer prefix. Jaccard sees shared
+    vocabulary; edit distance sees ORDER — transposed near-dups score
+    differently. Cost is bounded: the DP runs only on LSH candidates
+    (never all pairs) and on fixed-length prefixes, so per-pair work is
+    O(120²) regardless of document length."""
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingles(d, "doc_id", "text")
+    cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
+    pref = d.select("doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("p"))
+    t1 = pref.select(F.col("doc_id").alias("d1"), F.col("p").alias("p1"))
+    t2 = pref.select(F.col("doc_id").alias("d2"), F.col("p").alias("p2"))
+    dist = F.levenshtein("p1", "p2")
+    longer = F.greatest(F.length("p1"), F.length("p2"))
+    return (
+        cands.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            dist.alias("edit_distance"),
+            (dist.cast("double") / longer).alias("norm_distance"),
+        )
+    )
+
+
+def _edit_distance_sql() -> str:
+    cands = dd.sql_lsh_candidate_pairs(dd.sql_lsh_bands(dd.sql_minhash_signatures(_SHINGLES_SQL)))
+    return f"""
+WITH cands AS (SELECT d1, d2 FROM ({cands})),
+pref AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS p FROM documents)
+SELECT d1, d2,
+       levenshtein(p1.p, p2.p) AS edit_distance,
+       CAST(levenshtein(p1.p, p2.p) AS DOUBLE) / GREATEST(len(p1.p), len(p2.p))
+           AS norm_distance
+FROM cands
+JOIN pref p1 ON cands.d1 = p1.doc_id
+JOIN pref p2 ON cands.d2 = p2.doc_id
+"""
+
+
 for _spec in [
+    QuerySpec("dedup_edit_distance", q_dedup_edit_distance, _edit_distance_sql(), "DD-editdist", False,
+              "Levenshtein verification of LSH candidates (order-sensitive signal)"),
     QuerySpec("dedup_clusters", q_dedup_clusters, _dedup_clusters_sql(), "DD-clusters", True,
               "Connected-components duplicate clusters over Jaccard>=0.5 pairs"),
     QuerySpec("dedup_pipeline", q_dedup_pipeline, _dedup_pipeline_sql(), "DD-pipeline", True,
