@@ -48,5 +48,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import battery  # noqa: F401
     from . import tpch  # noqa: F401
     from . import mlprep  # noqa: F401
+    from . import advanced  # noqa: F401
 
     return REGISTRY

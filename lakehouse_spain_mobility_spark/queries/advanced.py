@@ -1,0 +1,327 @@
+"""Advanced relational surface: the remaining partsupp-free TPC-H analogs
+(Q21 waiting-supplier EXISTS/NOT-EXISTS, Q9 profit rollup), deterministic
+correlation/covariance, argmax (max_by/arg_max), overlapping document
+chunking for training-data prep, and CUBE aggregation.
+
+The reference has no TPC workload (SURVEY §6); these extend the relational
+battery the same way `tpch.py` does. The chunking query is a
+training-data-pipeline extension (fixed-width overlapping windows over
+`documents.text`, the shape an LLM-pretraining tokenizer feed uses).
+
+Scale notes:
+- Q21's two correlated quantifiers become one semi- and one anti-join on
+  ``l_orderkey`` with a ``l_suppkey <>`` residual — both shuffle lineitem
+  on the same key, so AQE reuses the exchange; no per-row subquery.
+- Q9 broadcasts part/supplier/nation (dims), shuffling only on
+  ``l_orderkey`` for the orders join, then one partial-agg shuffle on
+  (nation, year).
+- corr/covar run as a single map-side-combinable aggregation: six
+  fixed-point sums per group, closing scalar math on the driver-free
+  reduced row — the classic one-pass moments formulation.
+- Chunking is a narrow explode: rows expand ~(len/stride)× with no
+  shuffle; at 100 TB the output partitioning inherits the input's, and
+  ``spark.sql.files.maxPartitionBytes`` bounds the expansion per task.
+- argmax is a plain hash aggregate; the composite fixed-width key makes
+  ties impossible, so the result is partition-order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, sql_dsum
+from . import QuerySpec, register
+from .tables import load
+
+
+# --- TPC-H Q21 analog: suppliers who kept orders waiting --------------------
+# Classic Q21 needs l_commitdate/l_receiptdate; the synthetic lineitem has
+# l_shipdate only, so "late" := shipped >60 days after o_orderdate.
+
+_LATE_DAYS = 60
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > _LATE_DAYS
+        ).alias("late"),
+    )
+    l1 = lo.filter("late")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"),
+        F.col("late").alias("late2"),
+    )
+    # EXISTS another supplier in the same order …
+    waited = l1.join(
+        others,
+        (l1.l_orderkey == others.o2) & (l1.l_suppkey != others.s2),
+        "left_semi",
+    )
+    # … and NOT EXISTS another supplier who was also late.
+    others_late = others.filter("late2")
+    sole = waited.join(
+        others_late,
+        (waited.l_orderkey == others_late.o2) & (waited.l_suppkey != others_late.s2),
+        "left_anti",
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = f"""
+WITH lo AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           (date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+              > {_LATE_DAYS}) AS late
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lo l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+"""
+
+
+# --- TPC-H Q9 analog: product-type profit by nation and year ----------------
+# No partsupp table, so profit omits the ps_supplycost term:
+# sum(extendedprice * (1 - discount)) for parts whose name contains 'red'.
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("red")).select("p_partkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year(F.col("o_orderdate").cast("timestamp")).alias("o_year")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"),
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(dsum(F.col("profit")).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM CAST(o.o_orderdate AS TIMESTAMP)) AS o_year,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS sum_profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY nation, o_year
+"""
+
+
+# --- Deterministic correlation / covariance ---------------------------------
+# One-pass moments: six order-independent fixed-point sums per group, then
+# identical closing double expressions on both engines (sqrt is IEEE-exact,
+# so equal inputs give equal bits).
+
+
+def q_corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice")
+    g = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    n = F.col("n_rows")
+    cov_num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    return g.select(
+        "l_returnflag",
+        "n_rows",
+        (cov_num / (n - F.lit(1))).alias("covar_qty_price"),
+        (
+            cov_num
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+                * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+            )
+        ).alias("corr_qty_price"),
+    )
+
+
+_CORR_SQL = f"""
+WITH g AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('CAST(l_quantity AS DOUBLE)')} AS sx,
+           {sql_dsum('l_extendedprice')} AS sy,
+           {sql_dsum('CAST(l_quantity AS DOUBLE) * l_extendedprice')} AS sxy,
+           {sql_dsum('CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)')} AS sxx,
+           {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows,
+       (sxy - sx * sy / n_rows) / (n_rows - 1) AS covar_qty_price,
+       (sxy - sx * sy / n_rows)
+         / sqrt((sxx - sx * sx / n_rows) * (syy - sy * sy / n_rows))
+         AS corr_qty_price
+FROM g
+"""
+
+
+# --- argmax battery: max_by / min_by <-> arg_max / arg_min ------------------
+# Composite fixed-width key (offset-scaled acctbal || name) makes the
+# ordering total, so the winner is unique and partition-order-independent.
+
+_KEY_EXPR = (
+    "lpad(CAST(CAST(round((c_acctbal + 1000.0) * 100.0) AS BIGINT) AS VARCHAR), 10, '0')"
+    " || c_name"
+)
+
+
+def q_argmax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    key = F.concat(
+        F.lpad(
+            F.round((F.col("c_acctbal") + F.lit(1000.0)) * F.lit(100.0))
+            .cast("bigint")
+            .cast("string"),
+            10,
+            "0",
+        ),
+        F.col("c_name"),
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.max_by(F.col("c_name"), key).alias("richest_customer"),
+        F.min_by(F.col("c_name"), key).alias("poorest_customer"),
+        F.max(F.col("c_acctbal")).alias("max_acctbal"),
+        F.min(F.col("c_acctbal")).alias("min_acctbal"),
+    )
+
+
+_ARGMAX_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       arg_max(c_name, {_KEY_EXPR}) AS richest_customer,
+       arg_min(c_name, {_KEY_EXPR}) AS poorest_customer,
+       MAX(c_acctbal) AS max_acctbal,
+       MIN(c_acctbal) AS min_acctbal
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+# --- Overlapping document chunking (training-data prep) ---------------------
+# Fixed-width windows (256 chars) at a 200-char stride — the standard
+# pretraining chunker shape. Narrow explode, no shuffle; chunk identity is
+# hashed so the parity check covers content, not just counts.
+
+_CHUNK_WIDTH = 256
+_CHUNK_STRIDE = 200
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_last = F.floor((F.length("text") - F.lit(1)) / F.lit(_CHUNK_STRIDE)).cast("int")
+    chunks = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_last)).alias("chunk_id"),
+    )
+    chunk = F.expr(
+        f"substring(text, chunk_id * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH})"
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(chunk).alias("chunk_hash"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+_CHUNK_SQL = f"""
+SELECT d.doc_id,
+       CAST(t.gs AS INTEGER) AS chunk_id,
+       md5(substr(d.text, CAST(t.gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
+           AS chunk_hash,
+       length(substr(d.text, CAST(t.gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
+           AS chunk_len
+FROM documents d,
+     generate_series(0, CAST(floor((length(d.text) - 1) / {_CHUNK_STRIDE}.0) AS INTEGER))
+         AS t(gs)
+WHERE length(d.text) > 0
+"""
+
+
+# --- CUBE aggregation --------------------------------------------------------
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+for _spec in [
+    QuerySpec("tpch_q21", q_tpch_q21, _Q21_SQL, "J5-semi,J-anti,A8", False,
+              "TPC-H Q21 analog: EXISTS + NOT-EXISTS waiting-supplier quantifiers"),
+    QuerySpec("tpch_q9", q_tpch_q9, _Q9_SQL, "J2,A3", False,
+              "TPC-H Q9 analog: profit by nation and order year (3 broadcast dims)"),
+    QuerySpec("corr_battery", q_corr_battery, _CORR_SQL, "A1-moments", False,
+              "Deterministic corr/covar via one-pass fixed-point moments"),
+    QuerySpec("argmax_battery", q_argmax_battery, _ARGMAX_SQL, "A7-arg", False,
+              "max_by/min_by vs arg_max/arg_min on a tie-proof composite key"),
+    QuerySpec("doc_chunking", q_doc_chunking, _CHUNK_SQL, "TD-chunking", False,
+              "Overlapping fixed-width text chunking (256w/200s), hashed chunks"),
+    QuerySpec("cube_agg", q_cube_agg, _CUBE_SQL, "A-cube", False,
+              "CUBE over status x priority with grouping ids"),
+]:
+    register(_spec)
