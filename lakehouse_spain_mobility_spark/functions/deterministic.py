@@ -67,6 +67,21 @@ def sql_davg(expr: str) -> str:
     return f"({sql_dsum(expr)} / COUNT({expr}))"
 
 
+def micro(col: Column) -> Column:
+    """DOUBLE -> exact integer micro-units: CAST(ROUND(x*1e6) AS BIGINT).
+
+    Output-boundary armor: a DOUBLE result column is hash-fragile across
+    oracle engine versions (float repr / normalization deltas outside our
+    control), while two BIGINTs computed from the same exact binary double
+    cannot disagree. Use for every ratio/score/duration output column."""
+    return F.round(col * F.lit(_SCALE)).cast("bigint")
+
+
+def sql_micro(expr: str) -> str:
+    """DuckDB twin of :func:`micro`."""
+    return f"CAST(ROUND(({expr}) * 1000000.0) AS BIGINT)"
+
+
 def dstddev_samp(col: Column) -> Column:
     """Order-independent sample stddev; NULL for n<=1 (DuckDB semantics).
 

@@ -70,6 +70,33 @@ def sql_exact_dedup_groups(table: str, id_col: str, text_col: str) -> str:
 
 
 # --- n-gram Jaccard ---------------------------------------------------------
+def df_capped_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles that occur in more than ``max_df`` documents (the
+    CCNet/RefinedWeb discriminative-shingle cap). This is what makes a
+    corpus-wide Jaccard self-join scale-safe: the candidate join's cost is
+    O(Σ per-shingle df²) ≤ max_df · |shingles| — linear in corpus size —
+    instead of blowing up on stop-word shingles shared by every document.
+    High-df shingles carry no dedup signal anyway (they are corpus-common
+    phrases, not evidence of copying)."""
+    keep = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return sh.join(keep, "shingle", "left_semi")
+
+
+def sql_df_capped_shingles(shingles_sql: str, max_df: int) -> str:
+    return f"""
+    SELECT sh.doc_id, sh.shingle
+    FROM ({shingles_sql}) sh
+    JOIN (
+        SELECT shingle FROM ({shingles_sql})
+        GROUP BY shingle HAVING COUNT(*) <= {max_df}
+    ) keep ON sh.shingle = keep.shingle"""
+
+
 def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     """Pairwise Jaccard over a (doc_id, shingle) set frame.
 
@@ -241,9 +268,54 @@ def sql_simhash_fingerprints(table: str, id_col: str, text_col: str) -> str:
     SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"""
 
 
-def simhash_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """All-pairs Hamming scan over the fingerprints (bit_count of
-    xor stays in codegen; at scale, pre-bucket by fingerprint bytes)."""
+def simhash_pairs(
+    fingerprints: DataFrame, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Banded SimHash candidate join: split the 32-bit fingerprint into
+    ``n_bands`` byte bands and equi-join on (band, band_value). Pigeonhole:
+    ``max_hamming`` differing bits can touch at most ``max_hamming`` bands,
+    so any pair within the radius agrees exactly on >=1 band — full recall
+    with a shuffle-hash equi-join instead of an O(n^2) cross join (requires
+    ``max_hamming < n_bands``). The exact ``bit_count(xor)`` filter then
+    verifies each candidate; ``simhash_pairs_allpairs`` is the small-data
+    oracle for this plan."""
+    if max_hamming >= n_bands:
+        raise ValueError("banded recall needs max_hamming < n_bands")
+    band_bits = N_SIMHASH_BITS // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.expr(f"(simhash div {2 ** (band_bits * i)}) % {2 ** band_bits}").alias(
+                    "val"
+                ),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = fingerprints.select(
+        "doc_id", "simhash", F.explode(bands).alias("bv")
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = banded.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"), "band", "val"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"), "band", "val"
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "f1", "f2")
+        .distinct()  # a pair may collide on several bands — emit once
+        .withColumn("hamming", F.expr("CAST(bit_count(f1 ^ f2) AS INTEGER)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def simhash_pairs_allpairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All-pairs Hamming scan — O(n^2); kept ONLY as the small-data oracle
+    that the banded join is recall-complete against."""
     a = fingerprints.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("f1"))
     b = fingerprints.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("f2"))
     return (

@@ -106,10 +106,23 @@ def knn_bruteforce(
     )
 
 
+# Broadcast guard: an embedding table is a *dimension* table until it stops
+# fitting in executor/driver memory. 500k rows × 64 dims × 8 B ≈ 256 MB —
+# past that the collect()+broadcast kernels would OOM the driver, so they
+# route to the LSH-bucketed path instead (checked with limit(n+1).count(),
+# never a full count of an oversized corpus).
+MAX_BROADCAST_ROWS = 500_000
+
+
+def _over_broadcast_cap(df: DataFrame, max_rows: int) -> bool:
+    return df.limit(max_rows + 1).count() > max_rows
+
+
 def topk_pairs_broadcast_numpy(
     vectors: DataFrame,  # id, embedding
     k: int = 20,
     per_row_k: int = 30,
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Global top-k most-similar pairs via broadcast brute force.
 
@@ -129,6 +142,14 @@ def topk_pairs_broadcast_numpy(
     """
     import numpy as np
     import pandas as pd
+
+    if _over_broadcast_cap(vectors, max_broadcast_rows):
+        return (
+            ann_lsh_pairs(vectors)
+            .select("v1", "v2", "cosine")
+            .orderBy(F.desc("cosine"), "v1", "v2")
+            .limit(k)
+        )
 
     spark = vectors.sparkSession
     rows = vectors.select("id", "embedding").collect()
@@ -181,10 +202,53 @@ def topk_pairs_broadcast_numpy(
     return cand.orderBy(F.desc("cosine"), "v1", "v2").limit(k)
 
 
+def knn_lsh(
+    queries: DataFrame,  # id, embedding
+    corpus: DataFrame,  # id, embedding
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate per-query top-k via sign-LSH bucket join: the fallback
+    when the corpus is too large to broadcast — shuffles on bucket, scores
+    exact cosine inside each bucket, same output schema and tie-break as
+    :func:`knn_broadcast_numpy`."""
+    q = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"),
+        norm2_unrolled(F.col("embedding"), dim).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        sign_bucket(F.col("embedding"), n_bits).alias("bucket"),
+        norm2_unrolled(F.col("embedding"), dim).alias("c_norm"),
+    )
+    scored = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def knn_broadcast_numpy(
     queries: DataFrame,  # id, embedding
     corpus: DataFrame,  # id, embedding
     k: int = 5,
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """Exact top-k neighbors via the broadcast-numpy kernel (same
     dimension-sequential accumulation as :func:`topk_pairs_broadcast_numpy`,
@@ -192,6 +256,9 @@ def knn_broadcast_numpy(
     (cosine desc, neighbor_id asc) — matches ROW_NUMBER ordering."""
     import numpy as np
     import pandas as pd
+
+    if _over_broadcast_cap(corpus, max_broadcast_rows):
+        return knn_lsh(queries, corpus, k=k)
 
     spark = corpus.sparkSession
     rows = corpus.select("id", "embedding").collect()

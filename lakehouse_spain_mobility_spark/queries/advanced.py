@@ -274,17 +274,25 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB 1.0.0 cannot bind a lateral generate_series(0, f(d.text)); the
+# portable form is unnest(generate_series(...)) in the SELECT list over a CTE
+# (same pattern as queries/text.py chunk_dedup oracle).
 _CHUNK_SQL = f"""
-SELECT d.doc_id,
-       CAST(t.gs AS INTEGER) AS chunk_id,
-       md5(substr(d.text, CAST(t.gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
+WITH idx AS (
+    SELECT doc_id, text,
+           unnest(generate_series(
+               0, CAST(floor((length(text) - 1) / {_CHUNK_STRIDE}.0) AS BIGINT)
+           )) AS gs
+    FROM documents
+    WHERE length(text) > 0
+)
+SELECT doc_id,
+       CAST(gs AS INTEGER) AS chunk_id,
+       md5(substr(text, CAST(gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
            AS chunk_hash,
-       length(substr(d.text, CAST(t.gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
+       length(substr(text, CAST(gs AS INTEGER) * {_CHUNK_STRIDE} + 1, {_CHUNK_WIDTH}))
            AS chunk_len
-FROM documents d,
-     generate_series(0, CAST(floor((length(d.text) - 1) / {_CHUNK_STRIDE}.0) AS INTEGER))
-         AS t(gs)
-WHERE length(d.text) > 0
+FROM idx
 """
 
 

@@ -21,17 +21,25 @@ _DEDUP_EXACT_SQL = dd.sql_exact_dedup_groups("documents", "doc_id", "text")
 _SHINGLES_SQL = dd.sql_shingles("documents", "doc_id", "text")
 
 
+# Discriminative-shingle cap (CCNet/RefinedWeb): shingles in > this many
+# docs are corpus-common phrases, not copying evidence — dropping them
+# bounds the Jaccard self-join at O(max_df · |shingles|), i.e. linear.
+MAX_SHINGLE_DF = 32
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 (the planted near-dup
-    threshold in the corpus)."""
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 over df-capped shingles
+    (≥ 0.5 is the planted near-dup threshold in the corpus)."""
     d = load(spark, sf_dir, "documents")
-    # three consumers of the shingle frame (sizes + both join sides):
-    # materialize once instead of re-exploding the corpus per consumer
+    # multiple consumers of the shingle frame (df counts, sizes, both join
+    # sides): materialize once instead of re-exploding the corpus per use
     sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
-    return dd.jaccard_pairs(sh, min_jaccard=0.5)
+    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
+    return dd.jaccard_pairs(capped, min_jaccard=0.5)
 
 
-_DEDUP_NGRAM_SQL = dd.sql_jaccard_pairs(_SHINGLES_SQL, min_jaccard=0.5)
+_CAPPED_SHINGLES_SQL = dd.sql_df_capped_shingles(_SHINGLES_SQL, MAX_SHINGLE_DF)
+_DEDUP_NGRAM_SQL = dd.sql_jaccard_pairs(_CAPPED_SHINGLES_SQL, min_jaccard=0.5)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,7 +164,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
-    edges = dd.jaccard_pairs(sh, min_jaccard=0.5)
+    edges = dd.jaccard_pairs(dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5)
     cc = connected_components(edges.select("d1", "d2"))
     return (
         cc.groupBy("component")

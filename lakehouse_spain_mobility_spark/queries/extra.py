@@ -8,7 +8,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_dsum, sql_micro
 from . import QuerySpec, register
 from .tables import load
 
@@ -402,15 +402,15 @@ WITH per_user AS (
     GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                  AND t_click > t_signup AND t_click <= t_signup + 86400000000
-                THEN 1 ELSE 0 END) AS n_signup_click,
-       SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
                  AND t_click > t_signup AND t_click <= t_signup + 86400000000
                  AND t_purchase IS NOT NULL
                  AND t_purchase > t_click AND t_purchase <= t_click + 86400000000
-                THEN 1 ELSE 0 END) AS n_full_funnel
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 
@@ -479,7 +479,7 @@ def _profile_sql() -> str:
             ms, xs = f"MIN({c})", f"MAX({c})"
         selects.append(
             f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT {c}) AS n_distinct,
        {mn} AS min_num, {mx} AS max_num,
        CAST({ms} AS VARCHAR) AS min_str, CAST({xs} AS VARCHAR) AS max_str

@@ -92,7 +92,7 @@ per_doc AS (
     FROM tok WHERE token <> ''
     GROUP BY doc_id, token
 )
-SELECT token, COUNT(*) AS df, SUM(tf) AS total_tf,
+SELECT token, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
        ROUND(ln((SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / COUNT(*)) * 1000000.0)
            / 1000000.0 AS idf6
 FROM per_doc
@@ -148,7 +148,7 @@ WITH tagged AS (
 )
 SELECT lang,
        COUNT(*) AS total_docs,
-       SUM(kept) AS kept_docs,
+       CAST(SUM(kept) AS BIGINT) AS kept_docs,
        CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS realized_rate,
        ({sql_dsum("CASE WHEN kept = 1 THEN CAST(n_chars AS DOUBLE) ELSE 0.0 END")} / SUM(kept))
            AS avg_kept_chars
@@ -289,8 +289,8 @@ per_bin AS (
 )
 SELECT lang,
        COUNT(*) AS n_bins,
-       SUM(n_docs) AS n_docs,
-       SUM(bin_tokens) AS total_tokens,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
        {sql_davg('CAST(bin_tokens AS DOUBLE)')} AS avg_bin_tokens,
        MAX(n_docs) AS max_docs_per_bin
 FROM per_bin

@@ -409,12 +409,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sessions = ev.select("user_id", "ts", "event_id", sess_id.alias("session_id"))
+    # duration as exact integer microseconds: DOUBLE output columns are
+    # hash-fragile across oracle engines/versions; integers cannot disagree.
     return sessions.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        (
-            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).cast("double")
-            / F.lit(1000000.0)
-        ).alias("duration_sec"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
     )
 
 
@@ -433,8 +432,8 @@ sessions AS (
                                ROWS UNBOUNDED PRECEDING) AS session_id
     FROM flagged
 )
-SELECT user_id, session_id, COUNT(*) AS n_events,
-       (CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0) AS duration_sec
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
 FROM sessions
 GROUP BY user_id, session_id
 """

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, sql_davg
+from ..functions.deterministic import davg, micro, sql_davg, sql_micro
 from ..operators import similarity as sim
 from . import QuerySpec, register
 from .tables import load
@@ -202,12 +202,14 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(banded_hit).alias("hits_4x4"),
         )
     )
+    # recalls as exact integer ppm, counts as BIGINT: DOUBLE/HUGEINT output
+    # columns are hash-fragile across driver-side result normalizers.
     return per_q.agg(
         F.count("*").alias("n_queries"),
         F.sum("hits_1x8").alias("total_hits_1x8"),
-        davg(F.col("hits_1x8").cast("double") / 5.0).alias("recall_1x8"),
+        micro(davg(F.col("hits_1x8").cast("double") / 5.0)).alias("recall_1x8_ppm"),
         F.sum("hits_4x4").alias("total_hits_4x4"),
-        davg(F.col("hits_4x4").cast("double") / 5.0).alias("recall_4x4"),
+        micro(davg(F.col("hits_4x4").cast("double") / 5.0)).alias("recall_4x4_ppm"),
     )
 
 
@@ -246,10 +248,10 @@ per_q AS (
     GROUP BY t.query_id
 )
 SELECT COUNT(*) AS n_queries,
-       SUM(hits_1x8) AS total_hits_1x8,
-       {sql_davg('CAST(hits_1x8 AS DOUBLE) / CAST(5.0 AS DOUBLE)')} AS recall_1x8,
-       SUM(hits_4x4) AS total_hits_4x4,
-       {sql_davg('CAST(hits_4x4 AS DOUBLE) / CAST(5.0 AS DOUBLE)')} AS recall_4x4
+       CAST(SUM(hits_1x8) AS BIGINT) AS total_hits_1x8,
+       {sql_micro(sql_davg('CAST(hits_1x8 AS DOUBLE) / CAST(5.0 AS DOUBLE)'))} AS recall_1x8_ppm,
+       CAST(SUM(hits_4x4) AS BIGINT) AS total_hits_4x4,
+       {sql_micro(sql_davg('CAST(hits_4x4 AS DOUBLE) / CAST(5.0 AS DOUBLE)'))} AS recall_4x4_ppm
 FROM per_q
 """
 

@@ -1,0 +1,215 @@
+"""Suite queries: driver-checkable bundles of registry queries.
+
+The external driver correctness-checks a bounded window of ``queries()``
+entries. A suite packs the full result of N member queries into ONE
+hash-comparable entry: every member's result is canonicalized to
+``(part, row_str)`` — ``part`` is the member name, ``row_str`` joins the
+member's columns (sorted by name) canonicalized to engine-portable strings
+— and the suite is the UNION ALL of the members. The DuckDB oracle applies
+the identical canonicalization in SQL, so a suite row can only match if the
+member query matches, column for column, row for row.
+
+Canonical forms (the driver-portable subset proven by round-1 results +
+``test_oracle_outputs_are_driver_portable``):
+
+- ``str``  — as-is;
+- ``int``  — CAST AS VARCHAR (BIGINT text is identical in both engines);
+- ``dbl``  — CAST(ROUND(x*1e6) AS BIGINT) micro-units then VARCHAR: both
+  engines round the same exact binary double, integers cannot diverge;
+- ``bool`` — via INT (TRUE/true spelling differs between engines);
+- ``date`` — CAST AS VARCHAR (ISO '2020-01-01' in both);
+- NULL     — COALESCE to a sentinel AFTER the casts.
+
+Member kinds come from the generated ``_suite_schemas.py`` (DuckDB-derived
+by ``_gen_schemas.py``, test-pinned) so the SQL twin needs no runtime
+introspection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import REGISTRY, QuerySpec, register
+
+# Member modules must be registered before the suite definitions below run
+# (idempotent: Python caches modules, so load_all() re-importing is free).
+from . import core  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import gravity  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
+from . import extra  # noqa: F401,E402
+from . import battery  # noqa: F401,E402
+from . import tpch  # noqa: F401,E402
+from . import mlprep  # noqa: F401,E402
+from . import advanced  # noqa: F401,E402
+from . import storage  # noqa: F401,E402
+from ._suite_schemas import SCHEMAS
+
+_SEP = "|"
+_NULL = "<null>"
+
+_SPARK_KIND = {
+    "string": "str",
+    "bigint": "int",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "double": "dbl",
+    "float": "dbl",
+    "boolean": "bool",
+    "date": "date",
+}
+
+
+def spark_canonical(df: DataFrame, part: str) -> DataFrame:
+    """Canonicalize a member result to (part, row_str); asserts the live
+    Spark schema agrees with the pinned oracle schema."""
+    pinned = dict(SCHEMAS[part])
+    live = {f.name: _SPARK_KIND.get(f.dataType.simpleString(), f.dataType.simpleString())
+            for f in df.schema.fields}
+    if live != pinned:
+        raise AssertionError(
+            f"suite member {part}: schema drift spark={sorted(live.items())} "
+            f"pinned={sorted(pinned.items())} — regenerate _suite_schemas.py"
+        )
+    exprs = []
+    for name in sorted(pinned):
+        c = F.col(name)
+        kind = pinned[name]
+        if kind == "dbl":
+            c = F.round(c * F.lit(1000000.0)).cast("bigint")
+        elif kind == "bool":
+            c = c.cast("int")
+        exprs.append(F.coalesce(c.cast("string"), F.lit(_NULL)))
+    return df.select(
+        F.lit(part).alias("part"), F.concat_ws(_SEP, *exprs).alias("row_str")
+    )
+
+
+def _sql_canonical_expr(name: str, kind: str) -> str:
+    if kind == "dbl":
+        inner = f"CAST(CAST(ROUND(({name}) * 1000000.0) AS BIGINT) AS VARCHAR)"
+    elif kind == "bool":
+        inner = f"CAST(CAST({name} AS INTEGER) AS VARCHAR)"
+    else:
+        inner = f"CAST({name} AS VARCHAR)"
+    return f"COALESCE({inner}, '{_NULL}')"
+
+
+def sql_canonical(part: str) -> str:
+    """The DuckDB twin: wrap the member's oracle SQL into (part, row_str)."""
+    oracle = REGISTRY[part].oracle
+    exprs = ", ".join(
+        _sql_canonical_expr(name, kind) for name, kind in sorted(SCHEMAS[part])
+    )
+    return (
+        f"SELECT '{part}' AS part, concat_ws('{_SEP}', {exprs}) AS row_str\n"
+        f"FROM (\n{oracle}\n) AS _{part}"
+    )
+
+
+def make_suite(name: str, members: list[str], survey: str, description: str) -> None:
+    for m in members:
+        if m not in REGISTRY:
+            raise ValueError(f"suite {name}: unknown member {m}")
+        if REGISTRY[m].oracle is None:
+            raise ValueError(f"suite {name}: member {m} has no oracle")
+
+    def build(spark: SparkSession, sf_dir: str, _members=tuple(members)) -> DataFrame:
+        out = None
+        for m in _members:
+            part = spark_canonical(REGISTRY[m].build(spark, sf_dir), m)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    oracle = "\nUNION ALL\n".join(sql_canonical(m) for m in members)
+    register(QuerySpec(name, build, oracle, survey, False, description))
+
+
+# --- Suite definitions -------------------------------------------------------
+# Membership is the driver-window covering set: every SURVEY §2 operator id
+# and every LLM-pipeline operator keeps a hard correctness signal through
+# exactly one window entry (single query or suite).
+
+SUITES: dict[str, list[str]] = {
+    # P6,P8,P12,J2,J4,J5,J6,A3,A6,A7,A8 relational battery
+    "relational_suite": [
+        "membership_in", "suffix_expr_groupby", "distinct_enumeration",
+        "multiway_left_join", "disjunctive_join", "semi_join",
+        "null_aware_left_join", "conditional_agg", "dup_key_qa",
+    ],
+    # P10,A9 spatial predicates + spatial aggregates
+    "spatial_suite": ["bbox_extract", "centroid_fallback"],
+    # K1-K6 catalog update patterns, MERGE, snapshot time travel
+    "storage_suite": [
+        "storage_lifecycle", "storage_partition_replace",
+        "storage_merge_upsert", "storage_snapshot",
+    ],
+    # training-data prep (SURVEY beyond-reference §TD)
+    "mlprep_suite": [
+        "sequence_packing", "train_test_split", "stratified_sample",
+        "quantize_int8", "tfidf_terms",
+    ],
+    # the dedup family end to end
+    "dedup_suite": [
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+        "dedup_simhash", "dedup_clusters", "dedup_pipeline",
+        "dedup_edit_distance",
+    ],
+    # text analysis / fingerprinting / chunking
+    "text_suite": [
+        "token_stats", "lang_id", "quality_scores", "doc_winnowing",
+        "heavy_hitters", "json_props_rollup", "doc_chunking",
+    ],
+    # embedding similarity / ANN
+    "similarity_suite": [
+        "knn_bruteforce", "ann_lsh", "ann_ivf", "embedding_topk_pairs",
+        "label_centroids", "embedding_dup_clusters",
+    ],
+    # OLAP shapes: rollup/cube/grouping-sets/pivot/percentiles/approx/stats
+    "olap_suite": [
+        "gravity_ranking", "long_trip_dependency", "cohort_retention",
+        "pivot_daily", "unpivot_metrics", "rollup_grouping", "grouping_sets",
+        "cube_agg", "percentile_summary", "approx_quantile",
+        "approx_distinct", "corr_battery", "argmax_battery",
+    ],
+    # time-windowed analytics and specialty joins
+    "analytic_window_suite": [
+        "range_join", "asof_join", "crossmodal_join", "rolling_time_window",
+        "sliding_window", "set_ops_all", "explode_positional",
+        "typical_day_nofilter", "pandas_dim_join",
+    ],
+}
+
+_DESCR = {
+    "relational_suite": "Canonicalized bundle: the 9 small relational operator checks",
+    "spatial_suite": "Canonicalized bundle: spatial predicate + centroid queries",
+    "storage_suite": "Canonicalized bundle: K1-K6 catalog ops + MERGE + snapshots",
+    "mlprep_suite": "Canonicalized bundle: the training-data prep (mlprep) set",
+    "dedup_suite": "Canonicalized bundle: the full dedup family",
+    "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
+    "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
+    "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
+    "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
+}
+
+_SURVEY = {
+    "relational_suite": "P6,P8,P12,J2,J4,J5,J6,A3,A6,A7,A8",
+    "spatial_suite": "P10,A9",
+    "storage_suite": "K1,K2,K3,K4,K5,K6",
+    "mlprep_suite": "TD-mlprep",
+    "dedup_suite": "TD-dedup",
+    "text_suite": "TXT",
+    "similarity_suite": "TD-ann",
+    "olap_suite": "A4,W-olap",
+    "analytic_window_suite": "W,S5,U",
+}
+
+for _name, _members in SUITES.items():
+    make_suite(_name, _members, _SURVEY[_name], _DESCR[_name])
+
+

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_dsum, sql_micro
 from ..operators import text_analysis as ta
 from . import QuerySpec, register
 from .tables import load
@@ -227,7 +227,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chunks").alias("total_chunks"),
         F.sum("dup_chunks").alias("total_dup_chunks"),
-        davg(F.col("dup_chunks").cast("double") / F.col("n_chunks")).alias("avg_dup_ratio"),
+        micro(davg(F.col("dup_chunks").cast("double") / F.col("n_chunks"))).alias(
+            "avg_dup_ratio_ppm"
+        ),
     )
 
 
@@ -257,9 +259,9 @@ per_doc AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(n_chunks) AS total_chunks,
-       SUM(dup_chunks) AS total_dup_chunks,
-       {sql_davg('CAST(dup_chunks AS DOUBLE) / n_chunks')} AS avg_dup_ratio
+       CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(dup_chunks) AS BIGINT) AS total_dup_chunks,
+       {sql_micro(sql_davg('CAST(dup_chunks AS DOUBLE) / n_chunks'))} AS avg_dup_ratio_ppm
 FROM per_doc
 GROUP BY lang
 """
@@ -332,8 +334,8 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(flagged.cast("int")).alias("n_flagged"),
-        davg(dup_frac).alias("avg_dup_bigram_frac"),
-        davg(top_share).alias("avg_top_bigram_share"),
+        micro(davg(dup_frac)).alias("avg_dup_bigram_frac_ppm"),
+        micro(davg(top_share)).alias("avg_top_bigram_share_ppm"),
     )
 
 
@@ -351,11 +353,11 @@ per_doc AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN CAST(total_bi - distinct_bi AS DOUBLE) / total_bi > 0.2
+       CAST(SUM(CASE WHEN CAST(total_bi - distinct_bi AS DOUBLE) / total_bi > 0.2
                   OR CAST(max_bi AS DOUBLE) / total_bi > 0.05
-                THEN 1 ELSE 0 END) AS n_flagged,
-       {sql_davg('CAST(total_bi - distinct_bi AS DOUBLE) / total_bi')} AS avg_dup_bigram_frac,
-       {sql_davg('CAST(max_bi AS DOUBLE) / total_bi')} AS avg_top_bigram_share
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       {sql_micro(sql_davg('CAST(total_bi - distinct_bi AS DOUBLE) / total_bi'))} AS avg_dup_bigram_frac_ppm,
+       {sql_micro(sql_davg('CAST(max_bi AS DOUBLE) / total_bi'))} AS avg_top_bigram_share_ppm
 FROM per_doc
 GROUP BY lang
 """
@@ -418,10 +420,10 @@ s AS (
 )
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(len(regexp_extract_all(contact, '{_EMAIL_RE}'))) AS total_emails,
-       SUM(len(regexp_extract_all(contact, '{_PHONE_RE}'))) AS total_phones,
-       SUM(len(contact) - len(scrubbed)) AS total_chars_removed,
-       SUM(len(regexp_extract_all(scrubbed, '{_EMAIL_RE}'))) AS residual_pii
+       CAST(SUM(len(regexp_extract_all(contact, '{_EMAIL_RE}'))) AS BIGINT) AS total_emails,
+       CAST(SUM(len(regexp_extract_all(contact, '{_PHONE_RE}'))) AS BIGINT) AS total_phones,
+       CAST(SUM(len(contact) - len(scrubbed)) AS BIGINT) AS total_chars_removed,
+       CAST(SUM(len(regexp_extract_all(scrubbed, '{_EMAIL_RE}'))) AS BIGINT) AS residual_pii
 FROM s
 GROUP BY lang
 """
@@ -477,10 +479,10 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_train_docs"),
             F.sum(F.coalesce(F.col("is_contaminated"), F.lit(0))).alias("n_contaminated"),
-            (
+            micro(
                 F.sum(F.coalesce(F.col("is_contaminated"), F.lit(0))).cast("double")
                 / F.count("*")
-            ).alias("contamination_rate"),
+            ).alias("contamination_rate_ppm"),
         )
     )
 
@@ -502,9 +504,9 @@ contaminated AS (
 )
 SELECT lang,
        COUNT(*) AS n_train_docs,
-       SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-           AS contamination_rate
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       {sql_micro('CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)')}
+           AS contamination_rate_ppm
 FROM documents d
 LEFT JOIN contaminated c ON d.doc_id = c.doc_id
 WHERE d.doc_id >= {_DECON_BENCH}

@@ -103,3 +103,85 @@ def test_from_json_matches_get_json_object(spark):
     assert both.filter(
         ~(F.col("path_k").eqNullSafe(F.col("struct_k")))
     ).count() == 0
+
+
+def test_vincenty_geodesic_reference_arcs():
+    """WGS84 fidelity anchors (standard published arc lengths):
+    1° of meridian arc at ~40°N ≈ 111.04 km, 1° of longitude at 40°N
+    ≈ 85.39 km, 1° of longitude on the equator ≈ 111.32 km. Haversine
+    (sphere) differs from these by up to ~0.5%; Vincenty must be within
+    50 m. Symmetry and zero-distance are exact."""
+    import numpy as np
+
+    from lakehouse_spain_mobility_spark.functions.geo import vincenty_km_np
+
+    d_merid = float(vincenty_km_np(-3.7, 40.0, -3.7, 41.0))
+    assert abs(d_merid - 111.04) < 0.05, d_merid
+    d_lon40 = float(vincenty_km_np(-3.7, 40.0, -2.7, 40.0))
+    assert abs(d_lon40 - 85.39) < 0.05, d_lon40
+    d_equat = float(vincenty_km_np(0.0, 0.0, 1.0, 0.0))
+    assert abs(d_equat - 111.32) < 0.05, d_equat
+    # symmetry (to iteration roundoff) + identity
+    fwd = float(vincenty_km_np(2.17, 41.39, -3.70, 40.42))
+    rev = float(vincenty_km_np(-3.70, 40.42, 2.17, 41.39))
+    assert abs(fwd - rev) / fwd < 1e-9
+    assert float(vincenty_km_np(-3.7, 40.4, -3.7, 40.4)) == 0.0
+    # vectorized batch agrees with scalars
+    lons = np.array([-3.7, 2.17, -5.98]); lats = np.array([40.42, 41.39, 43.36])
+    batch = vincenty_km_np(lons, lats, np.full(3, -0.88), np.full(3, 41.65))
+    for i in range(3):
+        assert batch[i] == float(
+            vincenty_km_np(lons[i], lats[i], -0.88, 41.65)
+        )
+
+
+def test_geodesic_column_matches_numpy_and_haversine_tolerance(spark):
+    """The pandas-UDF column form must equal the numpy kernel exactly, and
+    sit within 0.5% of haversine on intra-Spain distances (the documented
+    SURVEY §7.4 divergence band)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.functions.geo import (
+        geodesic_km,
+        haversine_km,
+        vincenty_km_np,
+    )
+
+    pts = [  # (lon1, lat1, lon2, lat2) around Spain
+        (-3.70, 40.42, 2.17, 41.39),
+        (-5.98, 37.39, -0.88, 41.65),
+        (-8.72, 42.24, 2.82, 41.98),
+        (-3.70, 40.42, -3.69, 40.43),
+    ]
+    df = spark.createDataFrame(pts, "lon1 double, lat1 double, lon2 double, lat2 double")
+    out = df.select(
+        geodesic_km(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("geo"),
+        haversine_km(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")).alias("hav"),
+    ).collect()
+    for row, (lon1, lat1, lon2, lat2) in zip(out, pts):
+        assert row["geo"] == float(vincenty_km_np(lon1, lat1, lon2, lat2))
+        assert abs(row["geo"] - row["hav"]) / row["hav"] < 0.005
+
+
+def test_gravity_distances_spheroid_option(spark):
+    """municipality_distances(spheroid=True) returns the same pair set with
+    geodesic distances within 0.5% of the haversine run."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.pipelines.gravity_bq import municipality_distances
+
+    cent = spark.createDataFrame(
+        [("28079", -3.70, 40.42), ("08019", 2.17, 41.39), ("41091", -5.98, 37.39)],
+        "code string, lon double, lat double",
+    )
+    hav = {
+        (r["origin_code"], r["dest_code"]): r["distance_km"]
+        for r in municipality_distances(cent).collect()
+    }
+    geo = {
+        (r["origin_code"], r["dest_code"]): r["distance_km"]
+        for r in municipality_distances(cent, spheroid=True).collect()
+    }
+    assert set(hav) == set(geo) and len(geo) == 6
+    for k in hav:
+        assert abs(geo[k] - hav[k]) / hav[k] < 0.005

@@ -57,3 +57,36 @@ def test_results_invariant_to_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert a == b
+
+
+# Driver-compare portability: the external harness converts DuckDB results
+# through pandas, where HUGEINT (DuckDB's SUM(BIGINT)/SUM(INTEGER) result
+# type) silently becomes float64 while the Spark side stays int64 — the
+# values then hash-differ ("123.0" vs "123") even though fetchall() compares
+# equal. Every integer aggregate in oracle SQL must therefore be CAST to
+# BIGINT. This test pins the whole registry to the pandas-safe type set.
+_DRIVER_SAFE_ARROW_TYPES = {
+    "bool", "int32", "int64", "float", "double",
+    "string", "large_string", "date32[day]",
+}
+
+
+def test_oracle_outputs_are_driver_portable():
+    import duckdb
+
+    from lakehouse_spain_mobility_spark.queries.tables import TABLE_NAMES
+
+    sf = SF_DIR_ORACLE.replace("sf0.01", "sf0.001")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'")
+    offenders = []
+    for spec in load_all().values():
+        if spec.oracle is None:
+            continue
+        schema = con.execute(spec.oracle).arrow().schema
+        for f in schema:
+            if str(f.type) not in _DRIVER_SAFE_ARROW_TYPES:
+                offenders.append(f"{spec.name}.{f.name}: {f.type}")
+    con.close()
+    assert not offenders, f"pandas-fragile oracle output columns: {offenders}"

@@ -148,3 +148,20 @@ def test_tpch_q10_single_shuffle_topk(spark):
     assert pi.count_sortmerge_joins(df) == 0
     assert pi.count_shuffles(df) == 1
     assert "TakeOrderedAndProject" in pi.executed_plan(df)
+
+
+def test_simhash_banded_join_no_cartesian(spark):
+    """DD-simhash scale contract: the banded candidate join must plan as an
+    equi-join on (band, value) — never a cartesian/nested-loop product —
+    while returning exactly the all-pairs result (pigeonhole recall)."""
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+
+    d = load(spark, SF_DIR_ORACLE, "documents").limit(300)
+    fps = dd.simhash_fingerprints(d, "doc_id", "text").localCheckpoint(eager=True)
+    banded = dd.simhash_pairs(fps, max_hamming=3)
+    assert pi.count_nested_loop_joins(banded) == 0
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, dd.simhash_pairs_allpairs(fps, max_hamming=3).collect()))
+    assert got == want and len(got) > 0

@@ -260,3 +260,35 @@ def test_partition_diagnostics(spark):
     assert skew_factor(skewed) > 4.0          # 90% of rows share one key
     balanced = spark.range(0, 10000).repartition(8)
     assert skew_factor(balanced) < 1.5
+
+
+def test_broadcast_kernel_size_guard_falls_back_to_lsh(spark):
+    """The collect()+broadcast numpy kernels must route to the LSH-bucketed
+    path once the corpus exceeds the broadcast cap — a driver OOM guard.
+    With the cap forced below the corpus size, the returned plan must be
+    pure relational (no MapInPandas) and still produce ranked neighbors."""
+    from lakehouse_spain_mobility_spark.operators import similarity as sim
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    from conftest import SF_DIR_ORACLE
+
+    from pyspark.sql import functions as F
+
+    v = load(spark, SF_DIR_ORACLE, "embeddings").select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+
+    knn = sim.knn_broadcast_numpy(v.filter("id < 10"), v, k=5, max_broadcast_rows=100)
+    plan = knn._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "CartesianProduct" not in plan
+    rows = knn.collect()
+    assert len(rows) > 0 and all(r["rank"] <= 5 for r in rows)
+
+    topk = sim.topk_pairs_broadcast_numpy(v, k=10, max_broadcast_rows=100)
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "CartesianProduct" not in plan
+    assert len(topk.collect()) == 10
+
+    # under the cap the exact broadcast kernel stays in charge
+    exact = sim.knn_broadcast_numpy(v.filter("id < 10"), v, k=5)
+    assert "MapInPandas" in exact._jdf.queryExecution().executedPlan().toString()
