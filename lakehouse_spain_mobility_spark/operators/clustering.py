@@ -44,12 +44,19 @@ def _assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) -> 
             if pdf.empty:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
-            # (n, k) squared distances without materializing n*k*dim
-            d2 = (
-                (x * x).sum(axis=1, keepdims=True)
-                - 2.0 * (x @ cen.T)
-                + (cen * cen).sum(axis=1)
-            )
+            # (n, k) squared distances, accumulated DIMENSION-SEQUENTIALLY:
+            # acc = ((0 + t_1) + t_2) + ... — the exact fold order of the
+            # DuckDB oracle's list_reduce, so sqdist is bit-identical across
+            # engines (the ||x||² - 2x·c + ||c||² matmul form is faster but
+            # sums in a different order and breaks parity in the last ulp).
+            n, k = x.shape[0], cen.shape[0]
+            d2 = np.zeros((n, k))
+            for c in range(k):
+                acc = np.zeros(n)
+                for dd in range(x.shape[1]):
+                    diff = x[:, dd] - cen[c, dd]
+                    acc = acc + diff * diff
+                d2[:, c] = acc
             lbl = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {

@@ -220,7 +220,7 @@ FROM clamped
 """
 
 
-# --- k-means clustering (rows-only: iterative, not SQL-expressible) ---------
+# --- k-means clustering (oracle: Lloyd unrolled as chained CTEs) ------------
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster size and inertia share after 4 Lloyd iterations (k=8,
     deterministic smallest-id init)."""
@@ -233,6 +233,65 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         dsum(F.col("sqdist")).alias("inertia"),
     )
+
+
+_KM_DIM, _KM_K, _KM_ITERS = 64, 8, 4
+
+
+def _km_dist(e: str = "emb.e", c: str = "c.c") -> str:
+    # dimension-sequential squared-L2 fold — the exact accumulation order
+    # of the Spark kernel (operators/clustering.py:_assign), so distances
+    # (and therefore assignments and inertia) are bit-identical.
+    return (
+        f"list_reduce(list_transform(generate_series(1, {_KM_DIM}), "
+        f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) * (CAST({e}[i] AS DOUBLE) - {c}[i])), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _kmeans_sql() -> str:
+    """Lloyd's algorithm IS SQL-expressible for a fixed iteration count:
+    unroll assign -> recompute as chained CTEs (init = k smallest ids;
+    centroid means via the fixed-point davg; empty clusters keep the
+    previous iteration's centroid via COALESCE)."""
+    parts = [
+        f"""emb AS (
+    SELECT vec_id, embedding AS e FROM embeddings
+), c0 AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+           list_transform(e, x -> CAST(x AS DOUBLE)) AS c
+    FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(f"""a{it} AS (
+    SELECT vec_id, cluster, dist FROM (
+        SELECT emb.vec_id, c.cluster, {_km_dist()} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY emb.vec_id
+                                  ORDER BY {_km_dist()}, c.cluster) AS rn
+        FROM emb CROSS JOIN c{it - 1} c
+    ) WHERE rn = 1
+)""")
+        if it < _KM_ITERS:
+            parts.append(f"""x{it} AS (
+    SELECT a.cluster, emb.e, unnest(generate_series(1, {_KM_DIM})) AS j
+    FROM a{it} a JOIN emb USING (vec_id)
+), m{it} AS (
+    SELECT cluster, j, {sql_davg("CAST(e[j] AS DOUBLE)")} AS m
+    FROM x{it} GROUP BY cluster, j
+), g{it} AS (
+    SELECT cluster, list(m ORDER BY j) AS c FROM m{it} GROUP BY cluster
+), c{it} AS (
+    SELECT p.cluster, COALESCE(g.c, p.c) AS c
+    FROM c{it - 1} p LEFT JOIN g{it} g USING (cluster)
+)""")
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT cluster, COUNT(*) AS n_vectors, {sql_dsum("dist")} AS inertia
+FROM a{_KM_ITERS} GROUP BY cluster"""
+
+
+_KMEANS_SQL = _kmeans_sql()
 
 
 # --- Sequence packing (contiguous-stream bin assignment) ---------------------
@@ -301,8 +360,9 @@ GROUP BY lang
 for _spec in [
     QuerySpec("sequence_packing", q_sequence_packing, _PACKING_SQL, "ML-packing", False,
               "Contiguous-stream sequence packing accounting via window cumsum"),
-    QuerySpec("kmeans_clusters", q_kmeans_clusters, None, "ML-cluster", False,
-              "Iterative k-means (Lloyd) cluster sizes + inertia (rows-only)"),
+    QuerySpec("kmeans_clusters", q_kmeans_clusters, _KMEANS_SQL, "ML-cluster", False,
+              "Iterative k-means (Lloyd): oracle unrolls 4 iterations as chained CTEs; "
+              "dimension-sequential distance fold keeps inertia bit-identical"),
     QuerySpec("train_test_split", q_train_test_split, _SPLIT_SQL, "ML-split", False,
               "Deterministic md5-bucketed train/val/test split with per-split stats"),
     QuerySpec("stratified_sample", q_stratified_sample, _STRATIFIED_SQL, "ML-sample", False,

@@ -152,7 +152,7 @@ SUITES: dict[str, list[str]] = {
     # training-data prep (SURVEY beyond-reference §TD)
     "mlprep_suite": [
         "sequence_packing", "train_test_split", "stratified_sample",
-        "quantize_int8", "tfidf_terms",
+        "quantize_int8", "tfidf_terms", "kmeans_clusters",
     ],
     # the dedup family end to end
     "dedup_suite": [
