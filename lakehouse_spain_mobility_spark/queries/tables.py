@@ -31,7 +31,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (LTZ).
+
+    Parquet written without ``isAdjustedToUTC`` reads as TIMESTAMP_NTZ under
+    Spark 4's default inference, and NTZ is rejected by ``unix_micros`` and
+    friends. With the session TZ pinned UTC the cast is wall-clock-preserving
+    and yields the same epoch micros DuckDB's naive-timestamp ``epoch_us``
+    returns, so parity is unaffected whichever annotation the data carries.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,4 +68,4 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must pass through untouched.
     if isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_ntz(df)
