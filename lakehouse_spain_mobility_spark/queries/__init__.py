@@ -81,6 +81,8 @@ def load_all() -> dict[str, QuerySpec]:
     from . import mlprep  # noqa: F401
     from . import advanced  # noqa: F401
     from . import storage  # noqa: F401
+    from . import timeseries  # noqa: F401
+    from . import bloom  # noqa: F401
     from . import suites  # noqa: F401  (must come after all member modules)
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
