@@ -1,0 +1,143 @@
+"""Weighted PageRank over the nation-level trade graph.
+
+Second iterative-algorithm family next to Lloyd k-means
+(``operators/clustering.py``): fixed-iteration PageRank is SQL-expressible
+by unrolling, so the whole computation stays inside the differential
+correctness gate. The graph: an edge customer-nation → supplier-nation
+weighted by lineitem count (the same join spine as TPC-H Q7), self-edges
+excluded. Semantics: damping d=0.85, uniform teleport (1-d)/N over all
+nations (nodes without in-edges keep the teleport mass; dangling mass is
+not redistributed — identical convention on both engines).
+
+Scale shape: the edge aggregation is the only heavy stage (one shuffle of
+lineitem width-pruned to two keys after broadcast-joining the three dims);
+each of the 3 iterations is a |nodes|-sized broadcast join + dsum
+re-aggregation — at 1000 executors the per-iteration cost is a map-side
+broadcast lookup plus a tiny shuffle on dst. Rank sums use fixed-point
+aggregation so a different executor count cannot change a single output
+bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, micro, sql_dsum, sql_micro
+from . import QuerySpec, register
+from .tables import load
+
+_D = 0.85
+_ITERS = 3
+
+
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    n_nodes = nodes.count()  # dimension-table cardinality: driver scalar, like gravity's k
+    base = (1.0 - _D) / n_nodes
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(_ITERS):
+        contrib = (
+            trans.join(
+                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")), "src"
+            )
+            .groupBy("dst")
+            .agg(dsum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "inflow"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(_D) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+        )
+    return (
+        ranks.join(out_w.select(F.col("src").alias("node"), "out_w"), "node", "left")
+        .select(
+            "node",
+            micro(F.col("rank")).alias("rank_ppm"),
+            F.coalesce(F.col("out_w"), F.lit(0)).cast("bigint").alias("out_weight"),
+        )
+    )
+
+
+def _sql() -> str:
+    it_prev = "it0"
+    iters_sql = ""
+    for k in range(1, _ITERS + 1):
+        iters_sql += f""",
+contrib{k} AS (
+    SELECT t.dst, {sql_dsum(f'r.rank * t.p')} AS inflow
+    FROM trans t JOIN {it_prev} r ON t.src = r.node
+    GROUP BY t.dst
+),
+it{k} AS (
+    SELECT n.node,
+           ((1.0 - {_D}) / nc.n_nodes) + {_D} * COALESCE(c.inflow, 0.0) AS rank
+    FROM nodes n
+    CROSS JOIN node_count nc
+    LEFT JOIN contrib{k} c ON n.node = c.dst
+)"""
+        it_prev = f"it{k}"
+    return f"""
+WITH edges AS (
+    SELECT cn.n_name AS src, sn.n_name AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+),
+out_w AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+trans AS (
+    SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(o.out_w AS DOUBLE) AS p
+    FROM edges e JOIN out_w o ON e.src = o.src
+),
+nodes AS (SELECT n_name AS node FROM nation),
+node_count AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+it0 AS (
+    SELECT node, 1.0 / nc.n_nodes AS rank FROM nodes CROSS JOIN node_count nc
+){iters_sql}
+SELECT r.node,
+       {sql_micro('r.rank')} AS rank_ppm,
+       CAST(COALESCE(o.out_w, 0) AS BIGINT) AS out_weight
+FROM it{_ITERS} r LEFT JOIN out_w o ON r.node = o.src
+"""
+
+
+register(
+    QuerySpec(
+        "pagerank_nations",
+        q_pagerank_nations,
+        _sql(),
+        "GRAPH-pagerank,J2,A5",
+        False,
+        "Fixed-iteration weighted PageRank on the trade graph (unrolled-CTE oracle)",
+    )
+)

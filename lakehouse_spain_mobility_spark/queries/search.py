@@ -1,0 +1,147 @@
+"""Full-text relevance ranking: BM25 over an inverted-index shape.
+
+The retrieval step of a RAG / training-data curation pipeline: score every
+document against a query term set with Okapi BM25 (k1=1.2, b=0.75) and
+return the top-k. Spark-first decomposition — the "inverted index" is the
+exploded (doc, term) relation:
+
+- one explode produces term frequencies (narrow, map-side),
+- document length and corpus stats (N, avgdl) are tiny aggregates
+  broadcast back via cross join (the reference's scalar-k pattern,
+  ``dags/gravity/calculate_gold.py:11-45``),
+- per-term document frequency is a distinct-aggregate over the few query
+  terms only — the full vocabulary is never materialized,
+- the score is per-row IEEE double math over integer counts, so it is
+  bit-identical across engines; the one transcendental (ln in the IDF) is
+  quantized to 6 decimals on both sides before use, and the output score
+  is emitted in integer micro-units.
+
+At 100 TB: the corpus-side work is a single scan + explode filtered to
+query terms (predicate pushdown keeps it narrow), shuffled once on doc_id.
+Nothing is quadratic; df/avgdl/N are scalars or |terms|-row tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_micro
+from . import QuerySpec, register
+from .tables import load
+
+_TERMS = ("spark", "hash", "window")
+_K1 = 1.2
+_B = 0.75
+_TOP_K = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), davg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("term").isin(*_TERMS))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = qtoks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    # idf quantized to 6 decimals on both engines before entering the score:
+    # ln() is the one non-IEEE-exact op in the pipeline, and double-rounding
+    # through a fixed grid removes the cross-libm last-ulp exposure.
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+                )
+                * F.lit(1e6)
+            )
+            / F.lit(1e6),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf").cast("double")
+            / (
+                F.col("tf").cast("double")
+                + F.lit(_K1)
+                * (F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl").cast("double") / F.col("avgdl"))
+            ),
+        )
+    )
+    doc_scores = scored.groupBy("doc_id").agg(
+        micro(dsum(F.col("contrib"))).alias("score_ppm"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        doc_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("rank", "doc_id", "score_ppm", "n_terms_matched")
+    )
+
+
+def _sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _TERMS)
+    from ..functions.deterministic import sql_dsum
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+toks_f AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks_f GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs, {sql_davg('CAST(dl AS DOUBLE)')} AS avgdl FROM dl
+),
+qtoks AS (SELECT doc_id, term FROM toks_f WHERE term IN ({terms})),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qtoks GROUP BY doc_id, term),
+df AS (
+    SELECT term, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM qtoks) GROUP BY term
+),
+scored AS (
+    SELECT t.doc_id,
+           (ROUND(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * 1e6) / 1e6)
+             * CAST(t.tf AS DOUBLE)
+             / (CAST(t.tf AS DOUBLE)
+                + {_K1} * (1.0 - {_B} + {_B} * CAST(l.dl AS DOUBLE) / s.avgdl)) AS contrib
+    FROM tf t
+    JOIN df f ON t.term = f.term
+    JOIN dl l ON t.doc_id = l.doc_id
+    CROSS JOIN stats s
+),
+doc_scores AS (
+    SELECT doc_id,
+           {sql_micro(sql_dsum('contrib'))} AS score_ppm,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY score_ppm DESC, doc_id ASC) AS rank,
+           doc_id, score_ppm, n_terms_matched
+    FROM doc_scores
+) WHERE rank <= {_TOP_K}
+"""
+
+
+register(
+    QuerySpec(
+        "bm25_search",
+        q_bm25_search,
+        _sql(),
+        "TXT-bm25,A5,W",
+        False,
+        "Okapi BM25 top-k relevance ranking over exploded inverted-index relation",
+    )
+)

@@ -165,3 +165,49 @@ def test_simhash_banded_join_no_cartesian(spark):
     got = sorted(map(tuple, banded.collect()))
     want = sorted(map(tuple, dd.simhash_pairs_allpairs(fps, max_hamming=3).collect()))
     assert got == want and len(got) > 0
+
+
+def test_bloom_bitmap_join_broadcast(spark):
+    """BLOOM contract: the bitmap probe must be a broadcast join (the
+    bitmap is <= m/32 rows by construction) and nothing may plan as a
+    cartesian product."""
+    df = REG["bloom_decontamination"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 2
+    assert "CartesianProduct" not in pi.executed_plan(df)
+
+
+def test_pagerank_dims_broadcast(spark):
+    """GRAPH-pagerank contract: dimension joins in the edge build and the
+    per-iteration rank joins all broadcast — the fact table shuffles only
+    for the final (src,dst) aggregation."""
+    df = REG["pagerank_nations"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 4
+    assert pi.count_nested_loop_joins(df) <= 2  # node_count scalar cross joins only
+
+
+def test_bm25_stats_broadcast_and_pruned_scan(spark):
+    """TXT-bm25 contract: df/corpus-stat joins broadcast; the documents
+    scan reads only doc_id and text."""
+    df = REG["bm25_search"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 2
+    schemas = pi.read_schemas(df)
+    assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
+
+
+def test_gap_fill_scan_pruned(spark):
+    """TS-gapfill contract: the events scan reads only (ts, event_type,
+    value); grid generation is distributed (no cartesian product)."""
+    df = REG["gap_fill_interpolate"].build(spark, SF_DIR_ORACLE)
+    schemas = pi.read_schemas(df)
+    assert schemas and all("props" not in s and "user_id" not in s for s in schemas), schemas
+    assert "CartesianProduct" not in pi.executed_plan(df)
+
+
+def test_scd2_two_window_passes_share_sort(spark):
+    """SCD2 contract: the orders scan reads only (o_custkey, o_orderdate);
+    the whole build costs at most two exchanges (yearly agg + per-key
+    windows)."""
+    df = REG["scd2_history"].build(spark, SF_DIR_ORACLE)
+    schemas = pi.read_schemas(df)
+    assert schemas and all("o_totalprice" not in s and "o_orderstatus" not in s for s in schemas), schemas
+    assert pi.count_shuffles(df) <= 2
