@@ -100,3 +100,36 @@ def kmeans(
             nxt[c] = vec
         centroids = nxt
     return assigned.select("id", "cluster", "sqdist"), inertia
+
+
+def kmeans_fit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 8, iters: int = 5,
+) -> tuple[DataFrame, np.ndarray]:
+    """Lloyd's k-means for encoders: returns the final assignment AND the
+    centroid matrix that produced it (what a product-quantization codebook
+    needs). Same convention as :func:`kmeans` / the unrolled-CTE oracle:
+    assignment ``a_iters`` uses centroids ``c_{iters-1}`` — the update
+    after the last assignment is skipped, not just discarded."""
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    assigned = None
+    for it in range(iters):
+        assigned = _assign(df, id_col, vec_col, centroids).localCheckpoint(eager=True)
+        if it == iters - 1:
+            break
+        dim = centroids.shape[1]
+        means = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(davg(F.col("val").cast("double")).alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()  # empty clusters keep their old centroid
+        seen = {}
+        for r in means:
+            seen.setdefault(r.cluster, np.zeros(dim))[r.pos] = r.m
+        for c, vec in seen.items():
+            nxt[c] = vec
+        centroids = nxt
+    return assigned.select("id", "cluster", "sqdist"), centroids
