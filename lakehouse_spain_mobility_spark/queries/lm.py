@@ -1,0 +1,242 @@
+"""Statistical language-model quality scoring (CCNet-style perplexity filter).
+
+Training-data pipelines rank documents by the perplexity of a small LM
+trained on the corpus (or a trusted reference corpus); high-perplexity
+documents are dropped or down-weighted. Re-expressed Spark-first as a
+bigram model with add-one smoothing:
+
+- one corpus pass builds bigrams via ``lead()`` over (doc, position) — no
+  self-join, and empty tokens can't break adjacency,
+- model tables (bigram counts, history counts, vocab size) are relational
+  aggregates; the scorer joins them back and averages negative log-prob
+  per document,
+- each bigram's ``ln p`` is quantized to 6 decimals on both engines (the
+  BM25 transcendental convention) and document scores aggregate through
+  the fixed-point sum, so the ranking is bit-stable across engines and
+  executor counts,
+- output: the 20 highest-perplexity (lowest-quality) documents.
+
+At 100 TB: token explode is narrow; bigram/unigram counts are two hash
+aggregations (map-side partials absorb the Zipf head); the scorer is one
+shuffle on the bigram key to look up counts and one on doc_id to average.
+The model tables follow the Zipf tail — broadcastable after a df-cap or a
+frequency floor, exactly like the shingle df-cap in the dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.deterministic import dsum, micro, sql_dsum, sql_micro
+from . import QuerySpec, register
+from .tables import load
+
+_TOP_K = 20
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.select("doc_id", "token", F.lead("token").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("token").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = toks.select("token").distinct().agg(F.count("*").alias("v"))
+    lnp = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.log(
+                        (F.col("c12") + F.lit(1)).cast("double")
+                        / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            ).alias("lnp"),
+        )
+    )
+    scored = lnp.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        micro(-dsum(F.col("lnp")) / F.count("*")).alias("nll_ppm"),
+    )
+    wr = Window.orderBy(F.desc("nll_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("rank", "doc_id", "n_bigrams", "nll_ppm")
+    )
+
+
+_PPL_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, i AS pos, w[i] AS token
+    FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    )
+    WHERE w[i] <> ''
+),
+bigrams AS (
+    SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, token AS w1,
+               lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ) WHERE w2 IS NOT NULL
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS c1 FROM bigrams GROUP BY w1),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM toks),
+lnp AS (
+    SELECT b.doc_id,
+           ROUND(ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + vocab.v AS DOUBLE)) * 1e6) / 1e6
+               AS lnp
+    FROM bigrams b
+    JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+    JOIN c1 ON b.w1 = c1.w1
+    CROSS JOIN vocab
+),
+scored AS (
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           {sql_micro(f"-({sql_dsum('lnp')}) / COUNT(*)")} AS nll_ppm
+    FROM lnp GROUP BY doc_id
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY nll_ppm DESC, doc_id ASC) AS rank,
+           doc_id, n_bigrams, nll_ppm
+    FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+register(
+    QuerySpec(
+        "perplexity_filter",
+        q_perplexity_filter,
+        _PPL_SQL,
+        "TXT-ppl,A1,W",
+        False,
+        "Bigram-LM perplexity quality filter: quantized ln p, fixed-point doc averages, worst-20",
+    )
+)
+
+
+# --- DSIR importance weights -------------------------------------------------
+# Data Selection via Importance Resampling (public method: hashed n-gram
+# bag-of-words likelihood ratio between a target and the raw corpus).
+# Target = the benchmark stand-in (doc_id < 20, the decontamination
+# convention); features = unigrams with add-one smoothing over the shared
+# vocabulary. Per-token log-ratios are quantized like every transcendental
+# here; per-doc sums are fixed-point. The two model tables are token-level
+# aggregates (Zipf-bounded, broadcastable); scoring is one explode + two
+# broadcast joins + one doc-key shuffle.
+_DSIR_BENCH = 20
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    target = toks.filter(F.col("doc_id") < _DSIR_BENCH)
+    raw = toks.filter(F.col("doc_id") >= _DSIR_BENCH)
+    ct = target.groupBy("token").agg(F.count("*").alias("ct"))
+    cr = raw.groupBy("token").agg(F.count("*").alias("cr"))
+    totals = (
+        target.agg(F.count("*").alias("nt"))
+        .crossJoin(raw.agg(F.count("*").alias("nr")))
+        .crossJoin(toks.select("token").distinct().agg(F.count("*").alias("v")))
+    )
+
+    def _lnq(c):
+        return F.round(F.log(c) * F.lit(1e6)) / F.lit(1e6)
+
+    contrib = (
+        raw.join(F.broadcast(ct), "token", "left")
+        .join(F.broadcast(cr), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                _lnq(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    / (F.col("nt") + F.col("v")).cast("double")
+                )
+                - _lnq(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("nr") + F.col("v")).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        micro(dsum(F.col("lr")) / F.count("*")).alias("logw_ppm"),
+    )
+    wr = Window.orderBy(F.desc("logw_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("rank", "doc_id", "n_tokens", "logw_ppm")
+    )
+
+
+_DSIR_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+toks_f AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+target AS (SELECT * FROM toks_f WHERE doc_id < {_DSIR_BENCH}),
+raw AS (SELECT * FROM toks_f WHERE doc_id >= {_DSIR_BENCH}),
+ct AS (SELECT token, COUNT(*) AS ct FROM target GROUP BY token),
+cr AS (SELECT token, COUNT(*) AS cr FROM raw GROUP BY token),
+totals AS (
+    SELECT (SELECT COUNT(*) FROM target) AS nt,
+           (SELECT COUNT(*) FROM raw) AS nr,
+           (SELECT COUNT(DISTINCT token) FROM toks_f) AS v
+),
+contrib AS (
+    SELECT r.doc_id,
+           (ROUND(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / CAST(t.nt + t.v AS DOUBLE)) * 1e6) / 1e6)
+         - (ROUND(ln(CAST(cr.cr + 1 AS DOUBLE) / CAST(t.nr + t.v AS DOUBLE)) * 1e6) / 1e6) AS lr
+    FROM raw r
+    LEFT JOIN ct ON r.token = ct.token
+    JOIN cr ON r.token = cr.token
+    CROSS JOIN totals t
+),
+scored AS (
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           {sql_micro(f"({sql_dsum('lr')}) / COUNT(*)")} AS logw_ppm
+    FROM contrib GROUP BY doc_id
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY logw_ppm DESC, doc_id ASC) AS rank,
+           doc_id, n_tokens, logw_ppm
+    FROM scored
+) WHERE rank <= {_TOP_K}
+"""
+
+
+register(
+    QuerySpec(
+        "dsir_weights",
+        q_dsir_weights,
+        _DSIR_SQL,
+        "TXT-dsir,A1",
+        False,
+        "DSIR importance weights: unigram likelihood ratio target-vs-raw, top-20 target-like docs",
+    )
+)
