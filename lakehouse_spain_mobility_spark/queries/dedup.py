@@ -251,3 +251,62 @@ for _spec in [
               "SimHash 16-bit fingerprints, Hamming<=3 pair scan"),
 ]:
     register(_spec)
+
+
+# --- MinHash-LSH recall contract --------------------------------------------
+# The dedup analog of ann_recall: how much of the true Jaccard>=0.5 pair
+# set do the 8-hash/2-band LSH candidates recover? One integer row that a
+# pipeline operator watches when tuning (hashes, bands) — and a hard
+# driver-checkable measurement of the quality/cost tradeoff the scale
+# path makes.
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import micro
+
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
+    truth = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d1", "d2")
+    cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
+    hits = truth.join(cands, ["d1", "d2"], "left_semi")
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            micro(F.col("n_hits").cast("double") / F.col("n_true").cast("double")).alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
+def _minhash_recall_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    truth = dd.sql_jaccard_pairs(_CAPPED_SHINGLES_SQL, min_jaccard=0.5)
+    cands = dd.sql_lsh_candidate_pairs(dd.sql_lsh_bands(dd.sql_minhash_signatures(_SHINGLES_SQL)))
+    return f"""
+WITH truth AS (SELECT d1, d2 FROM ({truth})),
+cands AS (SELECT d1, d2 FROM ({cands})),
+hits AS (SELECT t.d1, t.d2 FROM truth t JOIN cands c ON t.d1 = c.d1 AND t.d2 = c.d2)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+       (SELECT COUNT(*) FROM cands) AS n_candidates,
+       (SELECT COUNT(*) FROM hits) AS n_hits,
+       {sql_micro('CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)')}
+           AS recall_ppm
+"""
+
+
+register(
+    QuerySpec(
+        "minhash_recall",
+        q_minhash_recall,
+        _minhash_recall_sql(),
+        "DD-minhash,DD-jaccard",
+        False,
+        "LSH recall contract: candidates vs true Jaccard>=0.5 pairs, one integer row",
+    )
+)

@@ -128,3 +128,38 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "d1 bigint, d2 bigint")
     got = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_pq_adc_ranking_is_informative(spark):
+    """PQ quality contract. The testdata embeddings are near-uniform
+    random, the worst case for product quantization (measured here: even
+    16×16 codebooks recover only ~3/10 exact neighbors), so exact-recall
+    thresholds would test the data, not the operator. The structural
+    contract instead: ADC distances are non-negative, and the ADC top-10's
+    mean EXACT distance sits well below the corpus mean — the quantized
+    ranking carries real signal, it is not a random draw."""
+    from lakehouse_spain_mobility_spark.functions.deterministic import davg
+    from lakehouse_spain_mobility_spark.operators.clustering import _assign
+    from lakehouse_spain_mobility_spark.queries.pq import q_pq_adc_search
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    adc_rows = q_pq_adc_search(spark, sf).collect()
+    assert len(adc_rows) == 10
+    assert all(r["adc_ppm"] >= 0 for r in adc_rows)
+    picked_mean_exact = sum(r["exact_ppm"] for r in adc_rows) / len(adc_rows)
+
+    e = load(spark, sf, "embeddings")
+    q = np.asarray(
+        e.filter(F.col("vec_id") == 0).select("embedding").first()[0], dtype=np.float64
+    )
+    corpus_mean = (
+        _assign(e, "vec_id", "embedding", q[None, :])
+        .filter(F.col("id") != 0)
+        .agg(davg(F.col("sqdist")))
+        .first()[0]
+    ) * 1e6
+    assert picked_mean_exact < 0.9 * corpus_mean, (picked_mean_exact, corpus_mean)
