@@ -4,8 +4,9 @@ volume), Q6 (forecast revenue), Q10 (returned items), Q13 (order-count
 distribution), Q14 (promo share), Q15 (top supplier), Q17 (small-quantity
 revenue), Q18 (large-volume customers), Q22 (anti-join), Q7 (bilateral trade),
 Q19 (disjunction-of-conjunctions), Q8 (market share), Q12 (lateness
-buckets) — 16 of the
-schema-expressible queries (no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
+buckets) — plus Q2/Q11/Q16/Q20 analogs over a lineitem-derived
+partsupp surrogate, covering all 22 TPC-H query shapes (the testdata
+ships no partsupp table; no comment/phone columns). The reference has no TPC workload (SURVEY
 §6), but these shapes — full-scan multi-aggregate, selective fact joins,
 pure filter-scan, and HAVING-gated join-back — are the canonical
 relational benchmarks, so they anchor the bench's relational story.
@@ -703,5 +704,253 @@ for _spec in [
               "TPC-H Q6 forecast revenue: zero-shuffle scan-filter-aggregate"),
     QuerySpec("tpch_q18", q_tpch_q18, _Q18_SQL, "A8-joinback", False,
               "TPC-H Q18 large-volume customers: HAVING gate + join-back"),
+]:
+    register(_spec)
+
+
+# --- Q2/Q11/Q16/Q20 analogs (partsupp surrogate) -----------------------------
+# The testdata has no partsupp table; the supplier↔part catalog is derived
+# from observed lineitems instead: ps = per (l_partkey, l_suppkey) the
+# line count, the quantity sum, and the minimum unit price (the supplycost
+# analog — MIN over exact per-row divisions, order-independent without any
+# fixed-point machinery). This keeps all four remaining TPC-H shapes
+# expressible with identical semantics on both engines: correlated
+# min-per-group (Q2), value-share-vs-global-scalar (Q11), distinct-count
+# with exclusion dim (Q16), and per-group availability threshold (Q20).
+
+
+def _ps(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.count("*").alias("ps_lines"),
+        dsum(F.col("l_quantity")).alias("ps_qty"),
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_unitcost"),
+    )
+
+
+_PS_SQL = f"""
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           COUNT(*) AS ps_lines,
+           {sql_dsum('l_quantity')} AS ps_qty,
+           MIN(l_extendedprice / l_quantity) AS ps_unitcost
+    FROM lineitem GROUP BY 1, 2"""
+
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: cheapest EUROPE supplier per LARGE part, top 20 by
+    account balance. The min-cost-per-part correlation is a window MIN
+    over the region-filtered catalog (no correlated subquery rescan)."""
+    from pyspark.sql import Window
+
+    from ..functions.deterministic import micro
+
+    ps = _ps(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cat = (
+        ps.join(F.broadcast(p.select("p_partkey", "p_brand")), ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
+              ps.ps_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = cat.withColumn("min_cost", F.min("ps_unitcost").over(w)).filter(
+        F.col("ps_unitcost") == F.col("min_cost")
+    )
+    wr = Window.orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+    return (
+        best.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            F.col("rn").alias("rank"),
+            "s_name",
+            "n_name",
+            F.col("p_partkey"),
+            "p_brand",
+            micro(F.col("ps_unitcost")).alias("unit_cost_ppm"),
+            micro(F.col("s_acctbal")).alias("acctbal_ppm"),
+        )
+    )
+
+
+def _q2_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    return f"""
+WITH ps AS ({_PS_SQL}),
+cat AS (
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+           ps.ps_unitcost,
+           MIN(ps.ps_unitcost) OVER (PARTITION BY p.p_partkey) AS min_cost
+    FROM ps
+    JOIN part p ON ps.ps_partkey = p.p_partkey AND p.p_type = 'LARGE'
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC) AS rank,
+           s_name, n_name, p_partkey, p_brand,
+           {sql_micro('ps_unitcost')} AS unit_cost_ppm,
+           {sql_micro('s_acctbal')} AS acctbal_ppm
+    FROM cat WHERE ps_unitcost = min_cost
+) WHERE rank <= 20
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog: parts whose catalog value (qty × min unit cost) from
+    NATION_3 suppliers exceeds 0.1% of that nation's total — the
+    value-share-vs-global-scalar shape."""
+    from ..functions.deterministic import micro
+
+    ps = _ps(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_ps = ps.join(
+        F.broadcast(
+            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+        ),
+        ps.ps_suppkey == F.col("s_suppkey"),
+    ).withColumn("value", F.col("ps_qty") * F.col("ps_unitcost"))
+    per_part = nat_ps.groupBy("ps_partkey").agg(dsum(F.col("value")).alias("part_value"))
+    total = nat_ps.agg(dsum(F.col("value")).alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
+        .select(
+            "ps_partkey",
+            micro(F.col("part_value")).alias("part_value_ppm"),
+            micro(F.col("part_value") / F.col("total_value")).alias("share_ppm"),
+        )
+    )
+
+
+def _q11_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    return f"""
+WITH ps AS ({_PS_SQL}),
+nat_ps AS (
+    SELECT ps.ps_partkey, ps.ps_qty * ps.ps_unitcost AS value
+    FROM ps
+    JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+),
+per_part AS (
+    SELECT ps_partkey, {sql_dsum('value')} AS part_value FROM nat_ps GROUP BY 1
+),
+total AS (SELECT {sql_dsum('value')} AS total_value FROM nat_ps)
+SELECT ps_partkey,
+       {sql_micro('part_value')} AS part_value_ppm,
+       {sql_micro('part_value / total_value')} AS share_ppm
+FROM per_part CROSS JOIN total
+WHERE part_value > 0.001 * total_value
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 analog: supplier counts per (brand, type, size) for non-PROMO
+    parts in selected sizes, excluding '...0'-suffixed suppliers (the
+    complaints analog) — distinct-count with an exclusion dimension."""
+    ps = _ps(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_name").endswith("0"))
+    return (
+        ps.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+                ps.ps_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s.select(F.col("s_suppkey").alias("bad_supp"))),
+              ps.ps_suppkey == F.col("bad_supp"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = f"""
+WITH ps AS ({_PS_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24)
+  AND ps.ps_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0'
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: NATION_5 suppliers of 'red'-named parts whose 1995
+    shipped quantity exceeds half their all-time quantity for that part —
+    the per-group availability-threshold shape."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    red_li = li.join(
+        F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+    )
+    qty = red_li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        dsum(
+            F.when(F.year("l_shipdate") == 1995, F.col("l_quantity")).otherwise(F.lit(0.0))
+        ).alias("qty_1995"),
+    )
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        qty.filter(F.col("qty_1995") > F.lit(0.5) * F.col("total_qty"))
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_partkey").alias("n_excess_parts"))
+    )
+
+
+_Q20_SQL = f"""
+WITH red_li AS (
+    SELECT l.l_partkey, l.l_suppkey, l.l_quantity, l.l_shipdate
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_name LIKE 'red%'
+),
+qty AS (
+    SELECT l_partkey, l_suppkey,
+           {sql_dsum('l_quantity')} AS total_qty,
+           {sql_dsum("CASE WHEN year(l_shipdate) = 1995 THEN l_quantity ELSE 0.0 END")}
+               AS qty_1995
+    FROM red_li GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name,
+       COUNT(DISTINCT q.l_partkey) AS n_excess_parts
+FROM qty q
+JOIN supplier s ON q.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_5'
+WHERE q.qty_1995 > 0.5 * q.total_qty
+GROUP BY 1, 2
+"""
+
+
+for _spec in [
+    QuerySpec("tpch_q2", q_tpch_q2, _q2_sql(), "J2,W,A7", False,
+              "Q2 analog: window-min cheapest supplier per part in region, top-20"),
+    QuerySpec("tpch_q11", q_tpch_q11, _q11_sql(), "A5,A4", False,
+              "Q11 analog: part value share vs national total (scalar broadcast)"),
+    QuerySpec("tpch_q16", q_tpch_q16, _Q16_SQL, "A8,J-anti", False,
+              "Q16 analog: distinct supplier counts with exclusion dim (left_anti)"),
+    QuerySpec("tpch_q20", q_tpch_q20, _Q20_SQL, "A6,J5", False,
+              "Q20 analog: availability-threshold suppliers (conditional vs total sums)"),
 ]:
     register(_spec)
