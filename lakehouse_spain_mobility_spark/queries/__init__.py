@@ -43,7 +43,7 @@ def register(spec: QuerySpec) -> QuerySpec:
 DRIVER_WINDOW: list[str] = [
     # §2 anchor singles (pass = the operator row in COVERAGE.md is green)
     "typical_day", "report_rollup", "sessionize", "typed_projection",
-    "filter_battery", "window_topk", "union_distinct", "tumbling_window",
+    "filter_battery", "window_topk", "tumbling_window",
     "gravity_data", "gravity_analysis",
     # canonicalized bundles (see queries/suites.py for membership)
     "relational_suite", "spatial_suite", "storage_suite",
@@ -60,8 +60,9 @@ DRIVER_WINDOW: list[str] = [
     # the 8 round-1 hash-mismatch queries, individually re-verified
     "decontamination", "repetition_quality", "pii_scrub", "chunk_dedup",
     "ann_recall", "table_profile", "event_funnel",
-    # remaining analytic surface
-    "olap_suite", "analytic_window_suite",
+    # remaining analytic surface + the round-2 operator bundle
+    # (union_distinct moved into relational_suite to free this slot)
+    "olap_suite", "analytic_window_suite", "round2_suite",
 ]
 
 

@@ -27,8 +27,9 @@ def regenerate() -> pathlib.Path:
 
     from . import REGISTRY
     from . import (  # noqa: F401 — registration side effects
-        advanced, battery, core, dedup, extra, gravity, mlprep, multimodal,
-        relational, similarity, storage, text, tpch,
+        advanced, battery, bloom, core, dedup, extra, graphrank, gravity,
+        lm, mlprep, multimodal, pq, relational, scd, search, similarity,
+        storage, text, timeseries, tpch,
     )
     from .tables import TABLE_NAMES
 

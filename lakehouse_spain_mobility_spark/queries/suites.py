@@ -47,6 +47,13 @@ from . import tpch  # noqa: F401,E402
 from . import mlprep  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import storage  # noqa: F401,E402
+from . import timeseries  # noqa: F401,E402
+from . import bloom  # noqa: F401,E402
+from . import search  # noqa: F401,E402
+from . import graphrank  # noqa: F401,E402
+from . import scd  # noqa: F401,E402
+from . import pq  # noqa: F401,E402
+from . import lm  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -141,6 +148,7 @@ SUITES: dict[str, list[str]] = {
         "membership_in", "suffix_expr_groupby", "distinct_enumeration",
         "multiway_left_join", "disjunctive_join", "semi_join",
         "null_aware_left_join", "conditional_agg", "dup_key_qa",
+        "union_distinct",
     ],
     # P10,A9 spatial predicates + spatial aggregates
     "spatial_suite": ["bbox_extract", "centroid_fallback"],
@@ -177,6 +185,14 @@ SUITES: dict[str, list[str]] = {
         "cube_agg", "percentile_summary", "approx_quantile",
         "approx_distinct", "corr_battery", "argmax_battery",
     ],
+    # round-2 additions: time-series, retrieval, graph, SCD2, PQ, LM
+    # scoring, recall contracts, and the partsupp-surrogate TPC-H analogs
+    "round2_suite": [
+        "gap_fill_interpolate", "bloom_decontamination", "bm25_search",
+        "pagerank_nations", "scd2_history", "pq_adc_search",
+        "perplexity_filter", "dsir_weights", "minhash_recall",
+        "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+    ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
         "range_join", "asof_join", "crossmodal_join", "rolling_time_window",
@@ -194,6 +210,7 @@ _DESCR = {
     "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
     "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
     "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
+    "round2_suite": "Canonicalized bundle: round-2 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20)",
     "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
 }
 
@@ -206,6 +223,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall",
     "analytic_window_suite": "W,S5,U",
 }
 
