@@ -54,6 +54,7 @@ from . import graphrank  # noqa: F401,E402
 from . import scd  # noqa: F401,E402
 from . import pq  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
+from . import funnel  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -191,7 +192,7 @@ SUITES: dict[str, list[str]] = {
         "gap_fill_interpolate", "bloom_decontamination", "bm25_search",
         "pagerank_nations", "scd2_history", "pq_adc_search",
         "perplexity_filter", "dsir_weights", "minhash_recall",
-        "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+        "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "curation_funnel",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
