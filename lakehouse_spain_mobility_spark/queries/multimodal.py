@@ -91,3 +91,85 @@ register(
         "(sha256 FakeDecoder, oracle re-derives bytes from the hex digest)",
     )
 )
+
+
+# --- Frame sampling, oracle-checked ------------------------------------------
+# frame_sample slices the payload BYTES; the oracle reproduces the slices
+# with substr on the text, which is only byte-equivalent for ASCII — so
+# the media set is restricted to payloads whose byte length equals their
+# character length (checked on both sides). Frames are compared through
+# integer md5-derived checksums per frame_idx.
+_N_FRAMES = 4
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        (F.octet_length("text") == F.char_length("text")) & (F.col("doc_id") % 3 == 0)
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    frames = mm.frame_sample(media, n_frames=_N_FRAMES)
+    hexv = F.md5(F.col("frame_bytes"))
+    b0 = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(hexv, 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(hexv, 2, 1)) - 1)
+    )
+    return (
+        frames.select(
+            "frame_idx",
+            F.length("frame_bytes").cast("bigint").alias("flen"),
+            b0.cast("bigint").alias("b0"),
+        )
+        .groupBy("frame_idx")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.sum("flen").alias("total_frame_bytes"),
+            F.sum("b0").alias("frame_checksum"),
+        )
+    )
+
+
+_FRAMES_SQL = f"""
+WITH src AS (
+    SELECT doc_id AS media_id, text,
+           GREATEST(1, strlen(text) // {_N_FRAMES}) AS step,
+           strlen(text) AS n
+    FROM documents
+    WHERE strlen(text) = length(text) AND doc_id % 3 = 0
+),
+fr AS (
+    SELECT media_id, i AS frame_idx,
+           substr(text, i * step + 1, step) AS frame
+    FROM (SELECT media_id, text, step, n,
+                 unnest(generate_series(0, {_N_FRAMES - 1})) AS i
+          FROM src)
+    WHERE i * step < n
+),
+scored AS (
+    SELECT frame_idx, strlen(frame) AS flen,
+           (strpos('0123456789abcdef', substr(md5(frame), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(frame), 2, 1)) - 1) AS b0
+    FROM fr
+)
+SELECT frame_idx,
+       COUNT(*) AS n_frames,
+       CAST(SUM(flen) AS BIGINT) AS total_frame_bytes,
+       CAST(SUM(b0) AS BIGINT) AS frame_checksum
+FROM scored
+GROUP BY frame_idx
+"""
+
+
+register(
+    QuerySpec(
+        name="multimodal_frames",
+        build=q_multimodal_frames,
+        oracle=_FRAMES_SQL,
+        survey="MM-frames",
+        description="Video frame sampling (flatMap mapInPandas) with per-frame-index "
+        "integer checksum parity against substr-sliced oracle",
+    )
+)
