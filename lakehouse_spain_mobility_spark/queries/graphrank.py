@@ -141,3 +141,84 @@ register(
         "Fixed-iteration weighted PageRank on the trade graph (unrolled-CTE oracle)",
     )
 )
+
+
+# --- Triangle counting -------------------------------------------------------
+# The standard graph-analytics companion to PageRank/CC: count triangles
+# on the undirected trade graph. Scale-canonical formulation (the one that
+# survives skew): orient every edge low→high, then one self-join on the
+# shared low vertex proposes wedges and one hash-semi-join closes them —
+# cost O(Σ deg²) on the ORIENTED graph, which caps wedge fan-out at the
+# low-degree endpoint (the classic Schank–Wagner trick), never O(n³).
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+
+    pairs = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.least(F.col("c_nationkey"), F.col("s_nationkey")).alias("u"),
+            F.greatest(F.col("c_nationkey"), F.col("s_nationkey")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 10)  # prune noise edges so the graph has structure
+        .select("u", "v")
+    )
+    e1 = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = pairs.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    closing = pairs.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    triangles = wedges.join(closing, ["b", "c"], "left_semi")
+    return (
+        pairs.agg(F.count("*").cast("bigint").alias("n_edges"))
+        .crossJoin(wedges.agg(F.count("*").cast("bigint").alias("n_wedges")))
+        .crossJoin(triangles.agg(F.count("*").cast("bigint").alias("n_triangles")))
+    )
+
+
+_TRIANGLE_SQL = """
+WITH pairs AS (
+    SELECT u, v FROM (
+        SELECT LEAST(c.c_nationkey, s.s_nationkey) AS u,
+               GREATEST(c.c_nationkey, s.s_nationkey) AS v,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ) WHERE w >= 10
+),
+wedges AS (
+    SELECT e1.a, e1.b, e2.c FROM
+        (SELECT u AS a, v AS b FROM pairs) e1
+        JOIN (SELECT u AS a, v AS c FROM pairs) e2 USING (a)
+    WHERE e1.b < e2.c
+),
+triangles AS (
+    SELECT w.a, w.b, w.c FROM wedges w
+    WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.u = w.b AND p.v = w.c)
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+       (SELECT COUNT(*) FROM wedges) AS n_wedges,
+       (SELECT COUNT(*) FROM triangles) AS n_triangles
+"""
+
+
+register(
+    QuerySpec(
+        "triangle_count",
+        q_triangle_count,
+        _TRIANGLE_SQL,
+        "GRAPH-triangles,J5",
+        False,
+        "Oriented-wedge triangle counting on the trade graph (Schank-Wagner, no O(n^3))",
+    )
+)

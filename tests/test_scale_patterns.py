@@ -292,3 +292,41 @@ def test_broadcast_kernel_size_guard_falls_back_to_lsh(spark):
     # under the cap the exact broadcast kernel stays in charge
     exact = sim.knn_broadcast_numpy(v.filter("id < 10"), v, k=5)
     assert "MapInPandas" in exact._jdf.queryExecution().executedPlan().toString()
+
+
+def test_queries_run_under_vanilla_session():
+    """Driver-environment armor: the external driver builds its OWN
+    SparkSession (not build_session), so every query must survive default
+    configs — this round's testdata regeneration turned tz-naive parquet
+    timestamps into TIMESTAMP_NTZ under Spark 4's default inference and
+    broke unix_micros() call sites until the loader normalized them.
+    Run the NTZ-sensitive queries in a subprocess with a bare session and
+    diff them against the oracle."""
+    import json
+    import subprocess
+    import sys
+
+    code = r"""
+import json
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "4")
+         .getOrCreate())
+from lakehouse_spain_mobility_spark.oracle import compare
+from lakehouse_spain_mobility_spark.queries import load_all
+reg = load_all()
+out = {}
+for name in ("sessionize", "tumbling_window", "event_funnel", "tpch_q4", "gap_fill_interpolate"):
+    r = compare(spark, reg[name], "/root/testdata/sf0.001")
+    out[name] = bool(r.match)
+print("RESULT:" + json.dumps(out))
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=420,
+        cwd="/root/repo",
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT:")]
+    assert line, f"no result line; stderr tail: {proc.stderr[-2000:]}"
+    results = json.loads(line[0][len("RESULT:"):])
+    assert all(results.values()), results
