@@ -310,3 +310,68 @@ register(
         "LSH recall contract: candidates vs true Jaccard>=0.5 pairs, one integer row",
     )
 )
+
+
+# --- Containment pairs -------------------------------------------------------
+# One-sided near-dup signal: containment(a,b) = |A∩B| / min(|A|,|B|)
+# catches a short document embedded inside a long one, which symmetric
+# Jaccard dilutes below threshold (|A∩B|/|A∪B| shrinks as the long side
+# grows). Same df-capped shingle join as the Jaccard path — identical
+# scale bound — with the min-size denominator; emitted in integer
+# micro-units.
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import micro
+
+    d = load(spark, sf_dir, "documents")
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = capped.select(F.col("doc_id").alias("d1"), "shingle")
+    b = capped.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("intersection"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    cont = F.col("intersection").cast("double") / F.least("n1", "n2").cast("double")
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(cont >= 0.8)
+        .select("d1", "d2", "intersection", micro(cont).alias("containment_ppm"))
+    )
+
+
+def _containment_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    c = "CAST(intersection AS DOUBLE) / CAST(LEAST(s1.n, s2.n) AS DOUBLE)"
+    return f"""
+WITH sh AS ({_CAPPED_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS intersection
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT d1, d2, intersection, {sql_micro(c)} AS containment_ppm
+FROM inter
+JOIN sizes s1 ON inter.d1 = s1.doc_id
+JOIN sizes s2 ON inter.d2 = s2.doc_id
+WHERE {c} >= 0.8
+"""
+
+
+register(
+    QuerySpec(
+        "dedup_containment",
+        q_dedup_containment,
+        _containment_sql(),
+        "DD-containment",
+        False,
+        "One-sided containment near-dup pairs (|A∩B|/min — catches embedded sub-documents)",
+    )
+)
