@@ -40,9 +40,96 @@ def _dec2dbl(c: Column) -> Column:
     return c.cast("string").cast("double")
 
 
+_POW31 = 1 << 31
+_MASK31 = _POW31 - 1
+
+_LITS: dict[str, Column] = {}
+
+
+def _lit(key: str, value) -> Column:
+    """Cached ``F.lit`` columns: literal Column fragments are immutable
+    plan nodes, so reusing one across expressions is safe and saves a
+    py4j round-trip per use (expression-tree *construction* is a measured
+    driver-side cost on the wide deterministic-agg trees — PERF.md)."""
+    c = _LITS.get(key)
+    if c is None:
+        c = _LITS[key] = F.lit(value)
+    return c
+
+
+def _overflow_guard(total: Column, n: Column, mg: Column) -> Column:
+    """Loud overflow detection for the long fast path: the guarded value
+    is returned only while the group stays inside the provable-safe
+    envelope (|m| < 2⁶², < 2³¹ rows/group, HI-sum headroom)."""
+    ok = (n == 0) | (
+        (mg >= 0)
+        & (mg < _lit("b62", 1 << 62))
+        & (n < _lit("p31", _POW31))
+        & (((F.shiftright(mg, 31) + _lit("one", 1)).cast("double") * n) < _lit("b61f", float(1 << 61)))
+    )
+    return F.when(ok, total).otherwise(
+        F.raise_error(
+            _lit(
+                "ovmsg",
+                "dsum overflow: group exceeds the long fast-path envelope "
+                "(|x·1e6| < 2^62, < 2^31 rows/group); use the DECIMAL(38,0) "
+                "slow path for this column",
+            )
+        )
+    )
+
+
 def _scaled_sum(col: Column) -> Column:
-    """Exact fixed-point sum: ROUND(x·1e6) summed as DECIMAL(38,0)."""
-    return F.sum(F.round(col * F.lit(_SCALE)).cast("decimal(38,0)"))
+    """Exact fixed-point sum: ROUND(x·1e6) summed exactly — long fast path.
+
+    The round-2 implementation summed DECIMAL(38,0) per row; the decimal
+    accumulator (BigDecimal adds outside codegen) cost a measured 3-6× on
+    aggregate-heavy stages (PERF.md: tpch_q1 0.32 s plain-double vs 2.1 s
+    decimal). This keeps the exact-integer semantics while staying in
+    whole-stage-codegen long arithmetic:
+
+      m  = CAST(ROUND(x·1e6) AS BIGINT)            -- exact integer micros
+      m  = (m >> 31)·2³¹ + (m & (2³¹-1))           -- linear split (floor
+                                                      shift keeps the low
+                                                      part in [0, 2³¹))
+      Σm = ΣHI·2³¹ + ΣLO                           -- recombined once per
+                                                      group in DECIMAL(38,0)
+
+    Both partial sums are plain BIGINT adds; the single per-group decimal
+    multiply-add replaces millions of per-row BigDecimal adds. The result
+    is the *same exact integer* the decimal sum produced, so the DuckDB
+    twin (``_sql_scaled_sum`` — DuckDB's int128 decimal sum is natively
+    fast) still hash-matches bit for bit.
+
+    Overflow is detected, never silent: the guard below raises when a
+    group leaves the provable-safe envelope (|m| < 2⁶², < 2³¹ rows per
+    group, and HI-sum headroom (max|m|>>31 + 1)·n < 2⁶¹ — at 1e9-unit
+    values that is ~10¹² rows per group before it trips). Past the
+    envelope, rebuild with the decimal form (swap this body for
+    ``F.sum(m.cast("decimal(38,0)"))``) — correctness degrades loudly to
+    a slower plan, not to wrong bytes.
+    """
+    m = F.round(col * _lit("scale", _SCALE)).cast("bigint")
+    total = (
+        F.sum(F.shiftright(m, 31)).cast("decimal(38,0)") * _lit("p31", _POW31)
+        + F.sum(m.bitwiseAND(_lit("mask31", _MASK31))).cast("decimal(38,0)")
+    )
+    return _overflow_guard(total, F.count(m), F.max(F.abs(m)))
+
+
+def dsum_over(col: Column, w) -> Column:
+    """Window twin of :func:`dsum`: order-independent SUM(double) OVER w.
+
+    Same hi/lo long split as :func:`_scaled_sum` with each partial applied
+    ``.over(w)`` — window frames share one sort, so the extra long buffers
+    are marginal while the per-row BigDecimal adds disappear."""
+    m = F.round(col * _lit("scale", _SCALE)).cast("bigint")
+    total = (
+        F.sum(F.shiftright(m, 31)).over(w).cast("decimal(38,0)") * _lit("p31", _POW31)
+        + F.sum(m.bitwiseAND(_lit("mask31", _MASK31))).over(w).cast("decimal(38,0)")
+    )
+    guarded = _overflow_guard(total, F.count(m).over(w), F.max(F.abs(m)).over(w))
+    return _dec2dbl(guarded) / _lit("scale", _SCALE)
 
 
 def _sql_scaled_sum(expr: str) -> str:
@@ -102,6 +189,107 @@ def sql_dstddev_samp(expr: str) -> str:
     n = f"COUNT({expr})"
     var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
     return f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, 0.0)) ELSE NULL END)"
+
+
+# --- Spark-dialect SQL-text twins --------------------------------------------
+# Each Column helper above costs ~25-40 py4j round-trips to build its
+# expression tree; on agg-heavy queries the driver-side tree construction
+# is a measured ~50% of bench wall-clock at sf0.1 (PERF.md round 3). These
+# generate the SAME expression as Spark SQL text, built with ONE F.expr
+# call. Value semantics are identical (the parser produces the same plan
+# nodes); the DuckDB oracle twins (sql_*) are unchanged. Use these in hot
+# query builders whenever the input is expressible as SQL text.
+
+
+def _spark_split_sum(expr: str) -> str:
+    m = f"CAST(ROUND(({expr}) * 1000000.0) AS BIGINT)"
+    hi = f"SUM(SHIFTRIGHT({m}, 31))"
+    lo = f"SUM({m} & {_MASK31})"
+    n = f"COUNT({m})"
+    mg = f"MAX(ABS({m}))"
+    total = f"(CAST({hi} AS DECIMAL(38,0)) * {_POW31} + CAST({lo} AS DECIMAL(38,0)))"
+    ok = (
+        f"({n} = 0) OR ({mg} >= 0 AND {mg} < {1 << 62} AND {n} < {_POW31} "
+        f"AND (CAST(SHIFTRIGHT({mg}, 31) + 1 AS DOUBLE) * {n}) < CAST({float(1 << 61)} AS DOUBLE))"
+    )
+    return (
+        f"(CASE WHEN {ok} THEN {total} "
+        f"ELSE RAISE_ERROR('dsum overflow: long fast-path envelope exceeded') END)"
+    )
+
+
+def spark_dsum(expr: str) -> str:
+    """Spark-SQL text of :func:`dsum` (same guarded hi/lo long split)."""
+    return f"(CAST(CAST({_spark_split_sum(expr)} AS STRING) AS DOUBLE) / 1000000.0)"
+
+
+def spark_davg(expr: str) -> str:
+    return f"({spark_dsum(expr)} / COUNT({expr}))"
+
+
+def spark_micro(expr: str) -> str:
+    return f"CAST(ROUND(({expr}) * 1000000.0) AS BIGINT)"
+
+
+def spark_dstddev_samp(expr: str) -> str:
+    s1 = spark_dsum(expr)
+    s2 = spark_dsum(f"({expr}) * ({expr})")
+    n = f"COUNT({expr})"
+    var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, CAST(0.0 AS DOUBLE))) ELSE CAST(NULL AS DOUBLE) END)"
+
+
+def spark_dstddev_samp0(expr: str) -> str:
+    return f"COALESCE({spark_dstddev_samp(expr)}, CAST(0.0 AS DOUBLE))"
+
+
+def xdsum(expr: str) -> Column:
+    """One-py4j-call Column form of ``dsum`` for SQL-text inputs."""
+    return F.expr(spark_dsum(expr))
+
+
+def xdavg(expr: str) -> Column:
+    return F.expr(spark_davg(expr))
+
+
+def xmicro_dsum(expr: str) -> Column:
+    """The common output composition ``micro(dsum(x))`` as one F.expr."""
+    return F.expr(spark_micro(spark_dsum(expr)))
+
+
+def xmicro_davg(expr: str) -> Column:
+    return F.expr(spark_micro(spark_davg(expr)))
+
+
+def xdstddev_samp0(expr: str) -> Column:
+    return F.expr(spark_dstddev_samp0(expr))
+
+
+def _spark_split_sum_over(expr: str, over: str) -> str:
+    """Window form of :func:`_spark_split_sum`: every partial aggregate
+    carries the OVER clause (one shared frame sort)."""
+    m = f"CAST(ROUND(({expr}) * 1000000.0) AS BIGINT)"
+    hi = f"SUM(SHIFTRIGHT({m}, 31)) {over}"
+    lo = f"SUM({m} & {_MASK31}) {over}"
+    n = f"COUNT({m}) {over}"
+    mg = f"MAX(ABS({m})) {over}"
+    total = f"(CAST({hi} AS DECIMAL(38,0)) * {_POW31} + CAST({lo} AS DECIMAL(38,0)))"
+    ok = (
+        f"({n} = 0) OR ({mg} >= 0 AND {mg} < {1 << 62} AND {n} < {_POW31} "
+        f"AND (CAST(SHIFTRIGHT({mg}, 31) + 1 AS DOUBLE) * {n}) < CAST({float(1 << 61)} AS DOUBLE))"
+    )
+    return (
+        f"(CASE WHEN {ok} THEN {total} "
+        f"ELSE RAISE_ERROR('dsum overflow: long fast-path envelope exceeded') END)"
+    )
+
+
+def spark_dsum_over(expr: str, partition_by: str) -> str:
+    """Spark-SQL text of :func:`dsum_over` with ``OVER (PARTITION BY ...)``."""
+    over = f"OVER (PARTITION BY {partition_by})"
+    return (
+        f"(CAST(CAST({_spark_split_sum_over(expr, over)} AS STRING) AS DOUBLE) / 1000000.0)"
+    )
 
 
 def dstddev_samp0(col: Column) -> Column:

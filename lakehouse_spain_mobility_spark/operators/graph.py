@@ -35,36 +35,49 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # persist(), not eager localCheckpoint: materialization piggybacks on
+    # the first round's convergence count instead of costing a dedicated
+    # job per frame (the driver-side job launches were ~half the operator's
+    # wall-clock at bench scale — PERF.md round 3). Lineage depth is
+    # bounded: each round re-roots at the persisted previous round.
+    sym = sym.distinct().persist()
 
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     for _ in range(max_iter):
         # candidate label for each vertex: min of own label and the labels
-        # of all neighbours (one shuffle join + one min-aggregate)
+        # of all neighbours (one shuffle join + one min-aggregate). The
+        # own-label rows carry the previous component in `old`, so the same
+        # aggregation yields both the new labels AND the convergence test —
+        # no extra join-per-round (each vertex appears exactly once in
+        # `labels`, so MAX(old) recovers its previous component; neighbour
+        # rows contribute NULL old, which MAX ignores).
         neighbour = (
             sym.join(labels, sym["b"] == labels["vertex"])
-            .select(F.col("a").alias("vertex"), "component")
+            .select(
+                F.col("a").alias("vertex"),
+                "component",
+                F.lit(None).cast(labels.schema["component"].dataType).alias("old"),
+            )
         )
-        new_labels = (
-            labels.select("vertex", "component")
-            .union(neighbour)
+        own = labels.select("vertex", "component", F.col("component").alias("old"))
+        new_full = (
+            own.union(neighbour)
             .groupBy("vertex")
-            .agg(F.min("component").alias("component"))
-        ).localCheckpoint(eager=True)
+            .agg(F.min("component").alias("component"), F.max("old").alias("old"))
+        ).persist()
 
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # Full count (no limit): the scan materializes every cached
+        # partition of new_full in this one job, so the next round never
+        # recomputes through an unpersisted parent.
+        changed = new_full.filter(F.col("component") != F.col("old")).count()
+        prev = labels
+        labels = new_full.select("vertex", "component")
+        prev.unpersist()
         if changed == 0:
             break
     return labels

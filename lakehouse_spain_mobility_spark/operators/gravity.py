@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum
+from ..functions.deterministic import xdavg, xdsum
 
 
 def assemble_gravity_data(
@@ -50,8 +50,8 @@ def calibrate_k(gravity_data: DataFrame) -> float:
     (dags/gravity/calculate_gold.py:11-19): grand aggregate → fetchone."""
     row = gravity_data.filter(F.col("total_trips").isNotNull()).agg(
         (
-            dsum(F.col("total_trips") * F.col("distance_km") * F.col("distance_km"))
-            / F.nullif(dsum(F.col("population") * F.col("avg_income")), F.lit(0.0))
+            xdsum("total_trips * distance_km * distance_km")
+            / F.nullif(xdsum("population * avg_income"), F.lit(0.0))
         ).alias("k")
     ).first()
     return row["k"]
@@ -68,11 +68,14 @@ def gravity_analysis(gravity_data: DataFrame, cache: bool = True) -> DataFrame:
     either way thanks to deterministic aggregation.
     """
     if cache:
-        gravity_data = gravity_data.localCheckpoint(eager=True)
+        # persist(), not eager localCheckpoint: the k-calibration broadcast
+        # materializes the cache as part of its own job, saving a dedicated
+        # checkpoint job (~half the query's bench wall-clock, PERF.md r3).
+        gravity_data = gravity_data.persist()
     k_df = gravity_data.filter(F.col("total_trips").isNotNull()).agg(
         (
-            dsum(F.col("total_trips") * F.col("distance_km") * F.col("distance_km"))
-            / F.nullif(dsum(F.col("population") * F.col("avg_income")), F.lit(0.0))
+            xdsum("total_trips * distance_km * distance_km")
+            / F.nullif(xdsum("population * avg_income"), F.lit(0.0))
         ).alias("k")
     )
     with_k = gravity_data.crossJoin(F.broadcast(k_df))
@@ -111,7 +114,7 @@ def infrastructure_ranking(analysis: DataFrame) -> DataFrame:
         analysis.filter(F.col("mismatch_ratio").isNotNull())
         .groupBy("origin_code")
         .agg(
-            davg(F.col("mismatch_ratio")).alias("avg_mismatch_ratio"),
+            xdavg("mismatch_ratio").alias("avg_mismatch_ratio"),
             F.max("origin_population").alias("origin_population"),
             F.count("*").alias("n_destinations"),
         )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import dsum
+from ..functions.deterministic import xdsum
 from ..functions.geo import planar_km
 
 
@@ -48,12 +48,15 @@ def long_trip_dependency(
     ).otherwise(planar_km(F.col("o_lon"), F.col("o_lat"), F.col("d_lon"), F.col("d_lat")))
     scored = with_dest.withColumn("distance_km", dist)
 
-    known = F.col("distance_km").isNotNull()
-    long_trip = known & (F.col("distance_km") > long_km)
     agg = scored.groupBy("origin_code").agg(
-        dsum(F.col("total_trips")).alias("total_trips"),
-        dsum(F.when(known, F.col("total_trips")).otherwise(F.lit(0.0))).alias("known_distance_trips"),
-        dsum(F.when(long_trip, F.col("total_trips")).otherwise(F.lit(0.0))).alias("long_trips"),
+        xdsum("total_trips").alias("total_trips"),
+        xdsum(
+            "CASE WHEN distance_km IS NOT NULL THEN total_trips ELSE 0.0 END"
+        ).alias("known_distance_trips"),
+        xdsum(
+            f"CASE WHEN distance_km IS NOT NULL AND distance_km > {long_km} "
+            "THEN total_trips ELSE 0.0 END"
+        ).alias("long_trips"),
     )
     ratio = F.col("long_trips") / F.nullif(F.col("known_distance_trips"), F.lit(0.0))
     bucket = (

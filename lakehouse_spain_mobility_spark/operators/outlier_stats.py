@@ -24,10 +24,15 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dstddev_samp0, dsum
+from ..functions.deterministic import (
+    spark_dsum_over,
+    xdavg,
+    xdstddev_samp0,
+    xdsum,
+)
 
 
 def sigma_filtered_stats(
@@ -46,17 +51,17 @@ def sigma_filtered_stats(
     keys = list(keys)
     v = F.col(value_col)
     stats = df.groupBy(*keys).agg(
-        davg(v).alias("_mu"),
-        dstddev_samp0(v).alias("_sigma"),
+        xdavg(value_col).alias("_mu"),
+        xdstddev_samp0(value_col).alias("_sigma"),
     )
     joined = df.join(stats, on=keys)
     band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
     band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
     filtered = joined.filter(v.between(band_lo, band_hi))
     return filtered.groupBy(*keys).agg(
-        dsum(v).alias("total_trips"),
-        davg(v).alias("avg_trips"),
-        dstddev_samp0(v).alias("std_trips"),
+        xdsum(value_col).alias("total_trips"),
+        xdavg(value_col).alias("avg_trips"),
+        xdstddev_samp0(value_col).alias("std_trips"),
         F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
     )
 
@@ -73,28 +78,30 @@ def sigma_filtered_stats_window(
     :func:`sigma_filtered_stats`."""
     keys = list(keys)
     v = F.col(value_col)
-    w = Window.partitionBy(*keys)
+    pb = ", ".join(keys)
     # Aggregate-over-window must be applied per aggregate function; the
     # composite davg/dstd helpers are arithmetic over aggregates, so build
     # the fixed-point moments explicitly (mirroring functions/deterministic)
-    # and close the math outside the window.
-    scale = F.lit(1000000.0)
-    s1 = F.sum(F.round(v * scale).cast("decimal(38,0)")).over(w).cast("string").cast("double") / scale
-    s2 = (
-        F.sum(F.round((v * v) * scale).cast("decimal(38,0)")).over(w).cast("string").cast("double")
-        / scale
+    # and close the math outside the window — as SQL text, one F.expr per
+    # output column (driver-side build cost, PERF.md round 3).
+    s1 = spark_dsum_over(value_col, pb)
+    s2 = spark_dsum_over(f"({value_col}) * ({value_col})", pb)
+    n = f"COUNT({value_col}) OVER (PARTITION BY {pb})"
+    var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    sigma = (
+        f"CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, CAST(0.0 AS DOUBLE))) "
+        f"ELSE CAST(NULL AS DOUBLE) END"
     )
-    n = F.count(v).over(w)
-    var = (s2 - s1 * s1 / n) / (n - F.lit(1))
-    sigma = F.when(n > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(F.lit(None).cast("double"))
-    with_stats = df.withColumn("_mu", s1 / n).withColumn("_sigma", F.coalesce(sigma, F.lit(0.0)))
+    with_stats = df.withColumn("_mu", F.expr(f"({s1} / {n})")).withColumn(
+        "_sigma", F.expr(f"COALESCE({sigma}, CAST(0.0 AS DOUBLE))")
+    )
     band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
     band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
     filtered = with_stats.filter(v.between(band_lo, band_hi))
     return filtered.groupBy(*keys).agg(
-        dsum(v).alias("total_trips"),
-        davg(v).alias("avg_trips"),
-        dstddev_samp0(v).alias("std_trips"),
+        xdsum(value_col).alias("total_trips"),
+        xdavg(value_col).alias("avg_trips"),
+        xdstddev_samp0(value_col).alias("std_trips"),
         F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
     )
 
@@ -102,10 +109,9 @@ def sigma_filtered_stats_window(
 def unfiltered_stats(df: DataFrame, keys: Sequence[str], value_col: str, date_col: str) -> DataFrame:
     """The reference's degraded fast path — same battery, no outlier band
     (dags/mitma/new_gold.py:151-179)."""
-    v = F.col(value_col)
     return df.groupBy(*list(keys)).agg(
-        dsum(v).alias("total_trips"),
-        davg(v).alias("avg_trips"),
-        dstddev_samp0(v).alias("std_trips"),
+        xdsum(value_col).alias("total_trips"),
+        xdavg(value_col).alias("avg_trips"),
+        xdstddev_samp0(value_col).alias("std_trips"),
         F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
     )

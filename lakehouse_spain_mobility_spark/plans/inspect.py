@@ -35,6 +35,10 @@ def count_sortmerge_joins(df: DataFrame) -> int:
     return len(re.findall(r"SortMergeJoin", executed_plan(df)))
 
 
+def count_shuffled_hash_joins(df: DataFrame) -> int:
+    return len(re.findall(r"ShuffledHashJoin", executed_plan(df)))
+
+
 def count_nested_loop_joins(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastNestedLoopJoin|CartesianProduct", executed_plan(df)))
 

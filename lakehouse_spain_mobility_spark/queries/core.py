@@ -17,10 +17,13 @@ from ..functions.deterministic import (
     davg,
     dstddev_samp,
     dsum,
+    spark_dstddev_samp,
     sql_davg,
     sql_dstddev_samp,
     sql_dstddev_samp0,
     sql_dsum,
+    xdavg,
+    xdsum,
 )
 from ..operators.outlier_stats import sigma_filtered_stats_window, unfiltered_stats
 from . import QuerySpec, register
@@ -122,10 +125,10 @@ def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scoped.groupBy("day_type", "hour_period")
         .agg(
-            dsum(F.col("total_trips")).alias("total_trips"),
-            davg(F.col("total_trips")).alias("avg_trips"),
-            dstddev_samp(F.col("total_trips")).alias("std_trips"),
-            davg(F.col("num_days_observed").cast("double")).alias("avg_days_observed"),
+            xdsum("total_trips").alias("total_trips"),
+            xdavg("total_trips").alias("avg_trips"),
+            F.expr(spark_dstddev_samp("total_trips")).alias("std_trips"),
+            xdavg("CAST(num_days_observed AS DOUBLE)").alias("avg_days_observed"),
         )
         .orderBy("day_type", "hour_period")
     )

@@ -33,7 +33,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # multiple consumers of the shingle frame (df counts, sizes, both join
     # sides): materialize once instead of re-exploding the corpus per use
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = dd.shingles(d, "doc_id", "text").persist()
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     return dd.jaccard_pairs(capped, min_jaccard=0.5)
 
@@ -94,11 +94,11 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id")
     )
     docs_kept = d.join(exact_keep, "doc_id", "left_semi")
-    sh = dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=True)
+    sh = dd.shingles(docs_kept, "doc_id", "text").persist()
     cands = (
         dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
         .select("d1", "d2")
-        .localCheckpoint(eager=True)
+        .persist()
     )
     cand_docs = (
         cands.select(F.col("d1").alias("doc_id"))
@@ -163,7 +163,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = dd.shingles(d, "doc_id", "text").persist()
     edges = dd.jaccard_pairs(dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5)
     cc = connected_components(edges.select("d1", "d2"))
     return (
@@ -263,7 +263,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = dd.shingles(d, "doc_id", "text").persist()
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     truth = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d1", "d2")
     cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
@@ -276,9 +276,13 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true",
             "n_candidates",
             "n_hits",
-            micro(F.col("n_hits").cast("double") / F.col("n_true").cast("double")).alias(
-                "recall_ppm"
-            ),
+            # Zero guard: a degenerate corpus with no truth pairs must stay
+            # engine-identical (Spark 0/0 → NULL, DuckDB → inf).
+            micro(
+                F.when(F.col("n_true") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_hits").cast("double") / F.col("n_true").cast("double")
+                )
+            ).alias("recall_ppm"),
         )
     )
 
@@ -295,7 +299,7 @@ hits AS (SELECT t.d1, t.d2 FROM truth t JOIN cands c ON t.d1 = c.d1 AND t.d2 = c
 SELECT (SELECT COUNT(*) FROM truth) AS n_true,
        (SELECT COUNT(*) FROM cands) AS n_candidates,
        (SELECT COUNT(*) FROM hits) AS n_hits,
-       {sql_micro('CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE)')}
+       {sql_micro('CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN 0.0 ELSE CAST((SELECT COUNT(*) FROM hits) AS DOUBLE) / CAST((SELECT COUNT(*) FROM truth) AS DOUBLE) END')}
            AS recall_ppm
 """
 
@@ -323,7 +327,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    sh = dd.shingles(d, "doc_id", "text").persist()
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = capped.select(F.col("doc_id").alias("d1"), "shingle")

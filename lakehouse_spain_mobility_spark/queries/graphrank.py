@@ -30,6 +30,52 @@ from .tables import load
 _D = 0.85
 _ITERS = 3
 
+# Broadcast guard (same policy as operators/similarity.py MAX_BROADCAST_ROWS):
+# the rank vector is a dimension table until it stops fitting in executor
+# memory. 1M nodes × (name + double) ≈ 50 MB broadcast per iteration — past
+# that the per-iteration F.broadcast would OOM the driver at web-graph vertex
+# counts, so the rank join degrades to a plain shuffle join on src (still one
+# shuffle per iteration, which is the textbook large-graph PageRank plan).
+PAGERANK_BROADCAST_CAP = 1_000_000
+
+
+def _pagerank_iterate(
+    nodes: DataFrame,
+    trans: DataFrame,
+    n_nodes: int,
+    iters: int = _ITERS,
+    damping: float = _D,
+    broadcast_cap: int = PAGERANK_BROADCAST_CAP,
+) -> DataFrame:
+    """The rank-propagation loop, rank-side join strategy guarded by
+    ``broadcast_cap``: broadcast below it, shuffle join on ``src`` above it
+    (plan-asserted both ways in tests/test_plans.py)."""
+    base = (1.0 - damping) / n_nodes
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iters):
+        rank_side = ranks.select(F.col("node").alias("src"), "rank")
+        if n_nodes <= broadcast_cap:
+            rank_side = F.broadcast(rank_side)
+        else:
+            # Past the cap the rank vector no longer fits as a broadcast:
+            # pin a shuffled-hash join on src (no sort needed for an
+            # equi-join of two hash-partitioned sides; Catalyst would
+            # otherwise auto-broadcast whatever its stale size stats allow).
+            rank_side = rank_side.hint("shuffle_hash")
+        contrib = (
+            trans.join(rank_side, "src")
+            .groupBy("dst")
+            .agg(dsum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib.select(F.col("dst").alias("node"), "inflow"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+        )
+    return ranks
+
 
 def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -56,24 +102,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = n.select(F.col("n_name").alias("node"))
     n_nodes = nodes.count()  # dimension-table cardinality: driver scalar, like gravity's k
-    base = (1.0 - _D) / n_nodes
-
-    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
-    for _ in range(_ITERS):
-        contrib = (
-            trans.join(
-                F.broadcast(ranks.select(F.col("node").alias("src"), "rank")), "src"
-            )
-            .groupBy("dst")
-            .agg(dsum(F.col("rank") * F.col("p")).alias("inflow"))
-        )
-        ranks = (
-            nodes.join(contrib.select(F.col("dst").alias("node"), "inflow"), "node", "left")
-            .select(
-                "node",
-                (F.lit(base) + F.lit(_D) * F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
-            )
-        )
+    ranks = _pagerank_iterate(nodes, trans, n_nodes)
     return (
         ranks.join(out_w.select(F.col("src").alias("node"), "out_w"), "node", "left")
         .select(
@@ -96,7 +125,7 @@ contrib{k} AS (
 ),
 it{k} AS (
     SELECT n.node,
-           ((1.0 - {_D}) / nc.n_nodes) + {_D} * COALESCE(c.inflow, 0.0) AS rank
+           ((CAST(1.0 AS DOUBLE) - CAST({_D} AS DOUBLE)) / nc.n_nodes) + {_D} * COALESCE(c.inflow, 0.0) AS rank
     FROM nodes n
     CROSS JOIN node_count nc
     LEFT JOIN contrib{k} c ON n.node = c.dst
@@ -122,7 +151,7 @@ trans AS (
 nodes AS (SELECT n_name AS node FROM nation),
 node_count AS (SELECT COUNT(*) AS n_nodes FROM nodes),
 it0 AS (
-    SELECT node, 1.0 / nc.n_nodes AS rank FROM nodes CROSS JOIN node_count nc
+    SELECT node, CAST(1.0 AS DOUBLE) / nc.n_nodes AS rank FROM nodes CROSS JOIN node_count nc
 ){iters_sql}
 SELECT r.node,
        {sql_micro('r.rank')} AS rank_ppm,

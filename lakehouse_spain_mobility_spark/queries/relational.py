@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum, xdavg, xdsum
 from . import QuerySpec, register
 from .core import q_typical_day, _TYPICAL_DAY_SQL
 from .tables import load
@@ -80,7 +80,7 @@ def q_membership_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("total_price"),
+            xdsum("o_totalprice").alias("total_price"),
         )
     )
 
@@ -106,7 +106,7 @@ def q_suffix_and_expr_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.substring(F.col("c_name"), 1, 12).alias("name_prefix"), F.col("c_mktsegment"))
         .agg(
             F.count("*").alias("n_customers"),
-            davg(F.col("c_acctbal")).alias("avg_acctbal"),
+            xdavg("c_acctbal").alias("avg_acctbal"),
         )
     )
 
@@ -153,8 +153,8 @@ def q_multiway_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(F.coalesce(F.col("r_name"), F.lit("UNKNOWN")).alias("region_name")).agg(
         F.count("*").alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("total_price"),
-        davg(F.col("c_acctbal")).alias("avg_acctbal"),
+        xdsum("o_totalprice").alias("total_price"),
+        xdavg("c_acctbal").alias("avg_acctbal"),
     )
 
 
@@ -188,7 +188,7 @@ def q_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = branch_a.unionByName(branch_b)
     return both.groupBy("n_name").agg(
         F.count("*").alias("n_suppliers"),
-        dsum(F.col("s_acctbal")).alias("total_acctbal"),
+        xdsum("s_acctbal").alias("total_acctbal"),
     )
 
 
@@ -212,7 +212,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(big, c.c_custkey == big.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), davg(F.col("c_acctbal")).alias("avg_acctbal"))
+        .agg(F.count("*").alias("n_customers"), xdavg("c_acctbal").alias("avg_acctbal"))
     )
 
 
@@ -244,7 +244,7 @@ def q_null_aware_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_lines"),
             F.count("margin").alias("n_known_margin"),
-            dsum(F.coalesce(F.col("margin"), F.lit(0.0))).alias("total_margin"),
+            xdsum("COALESCE(margin, 0.0)").alias("total_margin"),
         )
     )
 
@@ -272,11 +272,11 @@ GROUP BY l_returnflag
 # (dags/bussiness_layer/transform_gold_long_trip_dependency.py:129-145).
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(F.lit(0.0))
+    disc = "CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        dsum(disc).alias("discounted_revenue"),
-        dsum(F.col("l_extendedprice")).alias("total_revenue"),
-        (dsum(disc) / dsum(F.col("l_extendedprice"))).alias("discounted_share"),
+        xdsum(disc).alias("discounted_revenue"),
+        xdsum("l_extendedprice").alias("total_revenue"),
+        (xdsum(disc) / xdsum("l_extendedprice")).alias("discounted_share"),
     )
 
 
@@ -373,7 +373,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window(F.col("ts"), "6 hours")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
-        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), xdsum("value").alias("total_value"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_dsum, sql_micro
+from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_dsum, sql_micro, xdavg
 from ..operators import text_analysis as ta
 from . import QuerySpec, register
 from .tables import load
@@ -29,7 +29,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_words").alias("total_words"),
         F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
-        davg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        xdavg("CAST(n_chars AS DOUBLE)").alias("avg_chars"),
     )
 
 

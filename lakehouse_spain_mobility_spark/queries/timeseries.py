@@ -41,7 +41,10 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = (
         ev.groupBy(
             "event_type",
-            (F.unix_micros(F.col("ts")) / F.lit(_BUCKET_US)).cast("bigint").alias("bucket"),
+            # Integer floor division (matches the oracle's //): double
+            # true-division + cast truncates toward zero, which diverges
+            # from floor on pre-1970 timestamps.
+            F.expr(f"unix_micros(ts) div {_BUCKET_US}").alias("bucket"),
         )
         .agg(dsum(F.col("value")).alias("v"))
     )

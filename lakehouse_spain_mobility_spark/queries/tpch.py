@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum
+from ..functions.deterministic import davg, dsum, sql_davg, sql_dsum, xdavg, xdsum
 from . import QuerySpec, register
 from .tables import load
 
@@ -38,18 +38,17 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(
         F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    disc_price = "l_extendedprice * (1 - l_discount)"
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            xdsum("l_quantity").alias("sum_qty"),
+            xdsum("l_extendedprice").alias("sum_base_price"),
+            xdsum(disc_price).alias("sum_disc_price"),
+            xdsum(f"{disc_price} * (1 + l_tax)").alias("sum_charge"),
+            xdavg("l_quantity").alias("avg_qty"),
+            xdavg("l_extendedprice").alias("avg_price"),
+            xdavg("l_discount").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -79,12 +78,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.to_date("o_orderdate") < cutoff)
     l = load(spark, sf_dir, "lineitem").filter(F.to_date("l_shipdate") > cutoff)
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.to_date("o_orderdate").alias("order_date"), "o_orderpriority")
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(xdsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
@@ -120,7 +118,6 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
     )
     l = load(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -131,7 +128,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(revenue).alias("revenue"), F.count("*").alias("n_items"))
+        .agg(
+            xdsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
     )
 
 
@@ -163,7 +163,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return l.agg(
-        dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        xdsum("l_extendedprice * l_discount").alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -785,7 +785,7 @@ def _q2_sql() -> str:
     return f"""
 WITH ps AS ({_PS_SQL}),
 cat AS (
-    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, n.n_name,
+    SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal, s.s_suppkey, n.n_name,
            ps.ps_unitcost,
            MIN(ps.ps_unitcost) OVER (PARTITION BY p.p_partkey) AS min_cost
     FROM ps
@@ -795,7 +795,7 @@ cat AS (
     JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
 )
 SELECT * FROM (
-    SELECT ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC) AS rank,
+    SELECT ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC) AS rank,
            s_name, n_name, p_partkey, p_brand,
            {sql_micro('ps_unitcost')} AS unit_cost_ppm,
            {sql_micro('s_acctbal')} AS acctbal_ppm

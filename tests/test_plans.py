@@ -185,6 +185,32 @@ def test_pagerank_dims_broadcast(spark):
     assert pi.count_nested_loop_joins(df) <= 2  # node_count scalar cross joins only
 
 
+def test_pagerank_rank_join_degrades_past_broadcast_cap(spark):
+    """Scale guard (VERDICT r2): above PAGERANK_BROADCAST_CAP the
+    per-iteration rank join must flip from broadcast to a shuffle join —
+    the broadcast-a-web-graph's-rank-vector failure mode is structurally
+    unreachable. Asserted by forcing the cap to 0 on the same tiny graph."""
+    from lakehouse_spain_mobility_spark.queries.graphrank import _pagerank_iterate
+
+    nodes = spark.range(6).select(F.concat(F.lit("N"), F.col("id")).alias("node"))
+    trans = (
+        spark.range(5)
+        .select(
+            F.concat(F.lit("N"), F.col("id")).alias("src"),
+            F.concat(F.lit("N"), F.col("id") + 1).alias("dst"),
+            F.lit(1.0).alias("p"),
+        )
+    )
+    below = _pagerank_iterate(nodes, trans, 6, iters=1, broadcast_cap=1_000)
+    assert pi.count_broadcast_joins(below) >= 1
+    assert pi.count_sortmerge_joins(below) == 0
+
+    above = _pagerank_iterate(nodes, trans, 6, iters=1, broadcast_cap=0)
+    # the rank-side join must NOT be a broadcast: with AQE it plans as a
+    # sort-merge or shuffled-hash join on src
+    assert pi.count_sortmerge_joins(above) + pi.count_shuffled_hash_joins(above) >= 1
+
+
 def test_bm25_stats_broadcast_and_pruned_scan(spark):
     """TXT-bm25 contract: df/corpus-stat joins broadcast; the documents
     scan reads only doc_id and text."""
