@@ -12,21 +12,24 @@ import sys
 import time
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from lakehouse_spain_mobility_spark.queries import load_all
-    from lakehouse_spain_mobility_spark.session import build_session
+# Second tracked metric (VERDICT r2 "Next round" #5): the round-2/3
+# operators are deliberately excluded from the headline set so its total
+# stays comparable round-over-round; headline2 makes their regressions
+# driver-visible as a separate total carried in the same JSON line.
+BENCH2 = [
+    "gap_fill_interpolate", "bloom_decontamination", "bm25_search",
+    "pagerank_nations", "scd2_history", "pq_adc_search",
+    "perplexity_filter", "dsir_weights", "minhash_recall", "curation_funnel",
+    "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
+    "multimodal_features", "multimodal_frames", "triangle_count",
+    "dedup_containment", "spatial_transform",
+]
 
-    registry = load_all()
-    bench_specs = [s for s in registry.values() if s.bench]
 
-    spark = build_session(app_name="lakehouse-bench")
-    # Warm the JVM/codegen path so per-query timings measure the queries.
-    spark.range(1000).selectExpr("sum(id)").collect()
-
+def _run_set(spark, specs, sf_dir) -> tuple[dict[str, float], float]:
     timings: dict[str, float] = {}
     total = 0.0
-    for spec in bench_specs:
+    for spec in specs:
         # One warmup run amortizes JVM/codegen compilation, then measure.
         # collect(), not count(): count() lets Catalyst prune the output
         # expressions (aggregate values are never computed), which
@@ -39,6 +42,24 @@ def main() -> None:
         timings[spec.name] = round(dt, 3)
         total += dt
         print(f"# {spec.name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+    return timings, total
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.session import build_session
+
+    registry = load_all()
+    bench_specs = [s for s in registry.values() if s.bench]
+    bench2_specs = [registry[n] for n in BENCH2]
+
+    spark = build_session(app_name="lakehouse-bench")
+    # Warm the JVM/codegen path so per-query timings measure the queries.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings, total = _run_set(spark, bench_specs, sf_dir)
+    timings2, total2 = _run_set(spark, bench2_specs, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -53,6 +74,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "metric2": "headline2_round2_operators_wall_clock",
+                "value2": round(total2, 3),
+                "queries2": timings2,
             }
         )
     )

@@ -35,18 +35,20 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    # persist(), not eager localCheckpoint: materialization piggybacks on
-    # the first round's convergence count instead of costing a dedicated
-    # job per frame (the driver-side job launches were ~half the operator's
-    # wall-clock at bench scale — PERF.md round 3). Lineage depth is
-    # bounded: each round re-roots at the persisted previous round.
-    sym = sym.distinct().persist()
+    # Lazy localCheckpoint: materialization piggybacks on the first
+    # round's convergence count instead of costing a dedicated job per
+    # frame (driver-side job launches were ~half the operator's wall-clock
+    # at bench scale — PERF.md round 3). localCheckpoint, not persist():
+    # persisted plans enter the cache manager and silently substitute into
+    # later identical plans (cross-query contamination); checkpoints also
+    # truncate lineage so the per-round plan stays O(1).
+    sym = sym.distinct().localCheckpoint(eager=False)
 
     labels = (
         sym.select(F.col("a").alias("vertex"))
         .distinct()
         .withColumn("component", F.col("vertex"))
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):
         # candidate label for each vertex: min of own label and the labels
@@ -69,15 +71,13 @@ def connected_components(
             own.union(neighbour)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"), F.max("old").alias("old"))
-        ).persist()
+        ).localCheckpoint(eager=False)
 
         # Full count (no limit): the scan materializes every cached
         # partition of new_full in this one job, so the next round never
         # recomputes through an unpersisted parent.
         changed = new_full.filter(F.col("component") != F.col("old")).count()
-        prev = labels
         labels = new_full.select("vertex", "component")
-        prev.unpersist()
         if changed == 0:
             break
     return labels

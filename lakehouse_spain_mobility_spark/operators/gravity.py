@@ -68,10 +68,12 @@ def gravity_analysis(gravity_data: DataFrame, cache: bool = True) -> DataFrame:
     either way thanks to deterministic aggregation.
     """
     if cache:
-        # persist(), not eager localCheckpoint: the k-calibration broadcast
-        # materializes the cache as part of its own job, saving a dedicated
-        # checkpoint job (~half the query's bench wall-clock, PERF.md r3).
-        gravity_data = gravity_data.persist()
+        # Lazy localCheckpoint: the k-calibration broadcast materializes it
+        # as part of its own job, saving the dedicated eager-checkpoint job
+        # (~half the query's bench wall-clock, PERF.md r3); unlike persist()
+        # it stays out of the cache manager (no cross-query plan
+        # substitution) and truncates lineage.
+        gravity_data = gravity_data.localCheckpoint(eager=False)
     k_df = gravity_data.filter(F.col("total_trips").isNotNull()).agg(
         (
             xdsum("total_trips * distance_km * distance_km")

@@ -190,32 +190,56 @@ _E0 = 500000.0
 _LON0 = math.radians(-3.0)  # zone 30
 
 
-def utm30n_to_wgs84(easting: np.ndarray, northing: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def utm_constants() -> dict[str, float]:
+    """The series constants as plain Python doubles — shared verbatim by the
+    numpy kernel below and the DuckDB oracle SQL generator
+    (queries/spatialx.py), so both engines evaluate the identical literal."""
     f = 1.0 / _F_INV
     n = f / (2 - f)
     A1 = _A / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
-    xi = northing / (_K0 * A1)
-    eta = (easting - _E0) / (_K0 * A1)
-    beta = [
-        n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
-        n**2 / 48 + n**3 / 15,
-        17 * n**3 / 480,
-    ]
+    return {
+        "ka": _K0 * A1,
+        "e0": _E0,
+        "lon0": _LON0,
+        "b1": n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96,
+        "b2": n**2 / 48 + n**3 / 15,
+        "b3": 17 * n**3 / 480,
+        "d1": 2 * n - 2 * n**2 / 3 - 2 * n**3,
+        "d2": 7 * n**2 / 3 - 8 * n**3 / 5,
+        "d3": 56 * n**3 / 15,
+        "deg": math.degrees(1.0),
+    }
+
+
+def _sinh(x: np.ndarray) -> np.ndarray:
+    # Composed from exp (not np.sinh): DuckDB has no sinh/cosh, so the
+    # oracle composes them from EXP — using the identical composition here
+    # makes the two engines run the same libm calls on the same doubles
+    # (bit-exact parity by construction; accuracy cost ~1 ulp, irrelevant
+    # against the series' sub-mm truncation error).
+    return (np.exp(x) - np.exp(-x)) / 2
+
+
+def _cosh(x: np.ndarray) -> np.ndarray:
+    return (np.exp(x) + np.exp(-x)) / 2
+
+
+def utm30n_to_wgs84(easting: np.ndarray, northing: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = utm_constants()
+    xi = northing / c["ka"]
+    eta = (easting - c["e0"]) / c["ka"]
+    beta = [c["b1"], c["b2"], c["b3"]]
     xi_p = xi - sum(
-        b * np.sin(2 * (j + 1) * xi) * np.cosh(2 * (j + 1) * eta) for j, b in enumerate(beta)
+        b * np.sin(2 * (j + 1) * xi) * _cosh(2 * (j + 1) * eta) for j, b in enumerate(beta)
     )
     eta_p = eta - sum(
-        b * np.cos(2 * (j + 1) * xi) * np.sinh(2 * (j + 1) * eta) for j, b in enumerate(beta)
+        b * np.cos(2 * (j + 1) * xi) * _sinh(2 * (j + 1) * eta) for j, b in enumerate(beta)
     )
-    chi = np.arcsin(np.sin(xi_p) / np.cosh(eta_p))
-    delta = [
-        2 * n - 2 * n**2 / 3 - 2 * n**3,
-        7 * n**2 / 3 - 8 * n**3 / 5,
-        56 * n**3 / 15,
-    ]
+    chi = np.arcsin(np.sin(xi_p) / _cosh(eta_p))
+    delta = [c["d1"], c["d2"], c["d3"]]
     phi = chi + sum(d * np.sin(2 * (j + 1) * chi) for j, d in enumerate(delta))
-    lam = _LON0 + np.arctan2(np.sinh(eta_p), np.cos(xi_p))
-    return np.degrees(lam), np.degrees(phi)
+    lam = c["lon0"] + np.arctan2(_sinh(eta_p), np.cos(xi_p))
+    return lam * c["deg"], phi * c["deg"]
 
 
 def transform_polygon_wkt_25830_to_4326(wkt: str) -> str | None:
@@ -286,6 +310,16 @@ def st_bounds(wkt: pd.Series) -> pd.DataFrame:
 @F.pandas_udf(T.StringType())
 def st_transform_25830_to_4326(wkt: pd.Series) -> pd.Series:
     return pd.Series([transform_polygon_wkt_25830_to_4326(w) for w in wkt])
+
+
+@F.pandas_udf(T.StructType([T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]))
+def st_point_25830_to_4326(easting: pd.Series, northing: pd.Series) -> pd.DataFrame:
+    """Point-wise ST_Transform(EPSG:25830 → EPSG:4326) — the driver-checkable
+    coordinate surface of the geometry silver hop
+    (dags/geometry/transform_silver_geometry.py:20): Arrow-batched numpy over
+    the same inverse-TM kernel the polygon path uses."""
+    lon, lat = utm30n_to_wgs84(easting.to_numpy(), northing.to_numpy())
+    return pd.DataFrame({"lon": lon, "lat": lat})
 
 
 def make_polygon_predicate_udf(polygon_wkt: str, predicate: str = "intersects"):

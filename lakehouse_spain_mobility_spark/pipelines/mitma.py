@@ -25,6 +25,7 @@ BRONZE_TABLE = "bronze_mobility_trips"
 SILVER_TABLE = "silver_mobility_trips"
 GOLD_TABLE = "gold_typical_day_patterns"
 HOLIDAYS_TABLE = "ref_holidays"
+LEDGER_TABLE = "bronze_ingest_ledger"
 
 # Bronze: deliberately all-VARCHAR, typing deferred to the silver hop
 # (schema-on-read: dags/mitma/bronze_mitma.py:7-26, all_varchar=true at :68).
@@ -66,6 +67,17 @@ SILVER_SCHEMA = T.StructType(
 def ensure_tables(wh: Warehouse) -> None:
     """K1 idempotent bootstrap (dags/mitma/bronze_mitma.py:7-26 etc.)."""
     wh.create_if_not_exists(BRONZE_TABLE, BRONZE_SCHEMA)
+    wh.create_if_not_exists(
+        LEDGER_TABLE,
+        T.StructType(
+            [
+                T.StructField("file_date", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("ingested_at", T.TimestampType()),
+            ]
+        ),
+    )
     wh.create_if_not_exists(SILVER_TABLE, SILVER_SCHEMA, partition_by=["date"])
     wh.create_if_not_exists(
         HOLIDAYS_TABLE,
@@ -93,7 +105,16 @@ def ingest_holidays(wh: Warehouse, years: list[int]) -> None:
 def ingest_bronze(wh: Warehouse, raw: DataFrame, file_date: str) -> bool:
     """Append one daily file to bronze (S1/K2,
     dags/mitma/bronze_mitma.py:29-76). ``raw`` is the all-string frame from
-    sources.csv; ``file_date`` is 'yyyyMMdd'. Returns False when skipped."""
+    sources.csv; ``file_date`` is 'yyyyMMdd'. Returns False when skipped.
+
+    Idempotency ledger (dags/mitma/bronze_mitma.py:38-47 count-check-skip,
+    upgraded): a re-run probes the tiny ``bronze_ingest_ledger`` table —
+    file → row-count → status — and skips WITHOUT evaluating ``raw`` or
+    scanning bronze. At 100 TB that is the difference between a no-op
+    backfill re-run and a full fact-table scan per day re-checked. The
+    bronze count-check stays as defense-in-depth for pre-ledger tables."""
+    if wh.count_where(LEDGER_TABLE, (F.col("file_date") == file_date) & (F.col("status") == "ingested")) > 0:
+        return False
     if wh.skip_if_present(BRONZE_TABLE, F.col("date") == file_date):
         return False
     out = raw.select(
@@ -101,6 +122,11 @@ def ingest_bronze(wh: Warehouse, raw: DataFrame, file_date: str) -> bool:
         F.current_timestamp().alias("ingestion_date"),
     )
     wh.append(BRONZE_TABLE, out)
+    n = wh.count_where(BRONZE_TABLE, F.col("date") == file_date)
+    ledger_row = wh.spark.createDataFrame(
+        [(file_date, n, "ingested")], "file_date string, n_rows bigint, status string"
+    ).withColumn("ingested_at", F.current_timestamp())
+    wh.append(LEDGER_TABLE, ledger_row)
     return True
 
 

@@ -61,12 +61,24 @@ def district_report_frame(wh: Warehouse, district_id: str, year: int | None = No
 
 
 def generate_district_report(
-    wh: Warehouse, district_id: str, out_dir: str, year: int | None = None
+    wh: Warehouse,
+    district_id: str,
+    out_dir: str,
+    year: int | None = None,
+    store=None,
 ) -> dict[str, str]:
-    """CSV + markdown report with per-day-type peak hours
+    """CSV + markdown + PDF report with per-day-type peak hours
     (dags/mitma/generate_report.py:41-171 — peak via idxmax after collect,
     kept pandas-side exactly as the reference does since report data is
-    tiny). Returns artifact paths."""
+    tiny). The PDF is always produced via the vendored writer
+    (pipelines/pdfgen.py — the reference's reportlab path,
+    dags/bussiness_layer/generate_report.py:137-235, is never silently
+    skipped). If an ``ArtifactStore`` is given, every artifact is also
+    pushed to it (the reference's boto3 upload step,
+    dags/mitma/generate_report.py:67-88) and the returned dict carries the
+    store URIs under ``<kind>_uri`` keys. Returns artifact paths."""
+    from .pdfgen import write_pdf
+
     os.makedirs(out_dir, exist_ok=True)
     pdf = district_report_frame(wh, district_id, year).toPandas()
     csv_path = os.path.join(out_dir, f"report_{district_id}.csv")
@@ -88,7 +100,16 @@ def generate_district_report(
     md_path = os.path.join(out_dir, f"report_{district_id}.md")
     with open(md_path, "w", encoding="utf-8") as f:
         f.write("\n".join(lines) + "\n")
-    return {"csv": csv_path, "markdown": md_path}
+
+    pdf_path = os.path.join(out_dir, f"report_{district_id}.pdf")
+    write_pdf(pdf_path, f"Mobility report - district {district_id}", lines[2:])
+
+    artifacts = {"csv": csv_path, "markdown": md_path, "pdf": pdf_path}
+    if store is not None:
+        for kind, path in dict(artifacts).items():
+            key = f"{district_id}/{os.path.basename(path)}"
+            artifacts[f"{kind}_uri"] = store.put(path, key)
+    return artifacts
 
 
 def run_bq1_all_districts(wh: Warehouse, out_dir: str, year: int | None = None) -> dict[str, dict]:

@@ -88,6 +88,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import graphrank  # noqa: F401
     from . import scd  # noqa: F401
     from . import pq  # noqa: F401
+    from . import spatialx  # noqa: F401
     from . import lm  # noqa: F401
     from . import funnel  # noqa: F401
     from . import suites  # noqa: F401  (must come after all member modules)

@@ -28,7 +28,7 @@ def regenerate() -> pathlib.Path:
     from . import REGISTRY
     from . import (  # noqa: F401 — registration side effects
         advanced, battery, bloom, core, dedup, extra, funnel, graphrank,
-        gravity, lm, mlprep, multimodal, pq, relational, scd, search,
+        gravity, lm, mlprep, multimodal, pq, relational, scd, search, spatialx,
         similarity, storage, text, timeseries, tpch,
     )
     from .tables import TABLE_NAMES

@@ -33,7 +33,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     # multiple consumers of the shingle frame (df counts, sizes, both join
     # sides): materialize once instead of re-exploding the corpus per use
-    sh = dd.shingles(d, "doc_id", "text").persist()
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     return dd.jaccard_pairs(capped, min_jaccard=0.5)
 
@@ -94,11 +94,11 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_doc_id").alias("doc_id")
     )
     docs_kept = d.join(exact_keep, "doc_id", "left_semi")
-    sh = dd.shingles(docs_kept, "doc_id", "text").persist()
+    sh = dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=False)
     cands = (
         dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
         .select("d1", "d2")
-        .persist()
+        .localCheckpoint(eager=False)
     )
     cand_docs = (
         cands.select(F.col("d1").alias("doc_id"))
@@ -163,7 +163,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").persist()
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
     edges = dd.jaccard_pairs(dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5)
     cc = connected_components(edges.select("d1", "d2"))
     return (
@@ -263,7 +263,7 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").persist()
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     truth = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d1", "d2")
     cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
@@ -327,7 +327,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").persist()
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = capped.select(F.col("doc_id").alias("d1"), "shingle")

@@ -56,7 +56,7 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_first = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact = quality.join(keep_first.select("doc_id"), "doc_id", "left_semi")
 
-    sh = dd.shingles(exact, "doc_id", "text").persist()
+    sh = dd.shingles(exact, "doc_id", "text").localCheckpoint(eager=False)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     pairs = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d2").distinct()
     fuzzy = exact.join(

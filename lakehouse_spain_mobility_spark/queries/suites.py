@@ -53,6 +53,7 @@ from . import search  # noqa: F401,E402
 from . import graphrank  # noqa: F401,E402
 from . import scd  # noqa: F401,E402
 from . import pq  # noqa: F401,E402
+from . import spatialx  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
 from . import funnel  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
@@ -193,6 +194,10 @@ SUITES: dict[str, list[str]] = {
         "pagerank_nations", "scd2_history", "pq_adc_search",
         "perplexity_filter", "dsir_weights", "minhash_recall",
         "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20", "curation_funnel",
+        # round-3 fold-in (VERDICT r2 "Next round" #1 and #7): the three
+        # post-freeze operators plus the ST_Transform driver signal
+        "multimodal_frames", "triangle_count", "dedup_containment",
+        "spatial_transform",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -211,7 +216,7 @@ _DESCR = {
     "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
     "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
     "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
-    "round2_suite": "Canonicalized bundle: round-2 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20)",
+    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform)",
     "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
 }
 
@@ -224,7 +229,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo",
     "analytic_window_suite": "W,S5,U",
 }
 

@@ -69,6 +69,32 @@ def test_silver_mitma_idempotent_rerun(wh):
     assert wh.read(mitma.SILVER_TABLE).count() == before
 
 
+def test_bronze_ingest_ledger_skips_reread(wh, spark):
+    """Ledger idempotency (dags/mitma/bronze_mitma.py:38-47): a double-run
+    appends nothing AND never evaluates the raw frame — the skip decision
+    comes from the ledger probe, not a re-read of the file."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ledger = wh.read(mitma.LEDGER_TABLE)
+    assert ledger.filter(F.col("status") == "ingested").count() == len(fx.DATES)
+    row = ledger.filter(F.col("file_date") == fx.DATES[0]).collect()[0]
+    bronze_n = wh.count_where(mitma.BRONZE_TABLE, F.col("date") == fx.DATES[0])
+    assert row["n_rows"] == bronze_n and row["n_rows"] > 0
+
+    @F.udf(T.StringType())
+    def explode_on_eval():
+        raise RuntimeError("raw frame was evaluated on a skipped re-ingest")
+
+    poisoned = spark.range(1).select(
+        *[explode_on_eval().alias(c) for c in mitma.BRONZE_COLUMNS]
+    )
+    before = wh.read(mitma.BRONZE_TABLE).count()
+    assert mitma.ingest_bronze(wh, poisoned, fx.DATES[0]) is False  # skipped
+    assert wh.read(mitma.BRONZE_TABLE).count() == before  # zero duplicate appends
+    assert wh.read(mitma.LEDGER_TABLE).count() == len(fx.DATES)  # no dup ledger row
+
+
 def test_gold_typical_day_outlier_rejection(wh):
     gold = wh.read(mitma.GOLD_TABLE)
     # natural key unique (FIXTURES §4)

@@ -50,6 +50,42 @@ def test_district_report_artifacts(wh, tmp_path):
     # zone ids are section ids (district prefix) → the OR-join must match
     csv = open(arts["csv"], encoding="utf-8").read().strip().splitlines()
     assert len(csv) > 1, "report frame empty — disjunctive join matched nothing"
+    # K9: the PDF artifact is always produced (vendored writer) and is a
+    # structurally valid PDF: header, xref, trailer, EOF
+    pdf_bytes = open(arts["pdf"], "rb").read()
+    assert pdf_bytes.startswith(b"%PDF-1.4")
+    assert b"xref" in pdf_bytes and b"%%EOF" in pdf_bytes
+    assert district.encode() in pdf_bytes or b"Mobility report" in pdf_bytes
+
+
+def test_district_report_artifact_store_roundtrip(wh, tmp_path):
+    """K9 upload step (dags/mitma/generate_report.py:67-88): artifacts are
+    pushed to the injected store under district-scoped keys, and the
+    S3-shaped store issues the boto3 calling convention."""
+    from lakehouse_spain_mobility_spark.pipelines.artifacts import (
+        LocalArtifactStore,
+        S3ArtifactStore,
+    )
+
+    district = fx.MUNI_CODES[0] + "01"
+    store = LocalArtifactStore(str(tmp_path / "bucket"))
+    arts = reports.generate_district_report(wh, district, str(tmp_path / "w"), store=store)
+    for kind in ("csv", "markdown", "pdf"):
+        uri = arts[f"{kind}_uri"]
+        assert uri.startswith("file://")
+        key = f"{district}/{os.path.basename(arts[kind])}"
+        assert store.get_bytes(key) == open(arts[kind], "rb").read()
+
+    calls = []
+
+    class FakeClient:
+        def upload_file(self, path, bucket, key):
+            calls.append((path, bucket, key))
+
+    s3 = S3ArtifactStore("my-bucket", client_factory=FakeClient)
+    uri = s3.put(arts["pdf"], "k/report.pdf")
+    assert uri == "s3://my-bucket/reports/k/report.pdf"
+    assert calls == [(arts["pdf"], "my-bucket", "reports/k/report.pdf")]
 
 
 def test_district_report_optional_year_probe(wh, tmp_path):
