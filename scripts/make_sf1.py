@@ -16,7 +16,10 @@ Defaults: /root/testdata/sf0.1 -> /root/repo/.testdata_sf1
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
