@@ -91,6 +91,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import spatialx  # noqa: F401
     from . import lm  # noqa: F401
     from . import funnel  # noqa: F401
+    from . import curation  # noqa: F401
     from . import suites  # noqa: F401  (must come after all member modules)
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -27,9 +27,9 @@ def regenerate() -> pathlib.Path:
 
     from . import REGISTRY
     from . import (  # noqa: F401 — registration side effects
-        advanced, battery, bloom, core, dedup, extra, funnel, graphrank,
-        gravity, lm, mlprep, multimodal, pq, relational, scd, search, spatialx,
-        similarity, storage, text, timeseries, tpch,
+        advanced, battery, bloom, core, curation, dedup, extra, funnel,
+        graphrank, gravity, lm, mlprep, multimodal, pq, relational, scd,
+        search, spatialx, similarity, storage, text, timeseries, tpch,
     )
     from .tables import TABLE_NAMES
 

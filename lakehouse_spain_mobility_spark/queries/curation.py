@@ -1,0 +1,450 @@
+"""Round-3 corpus-curation operators over the documents/embeddings tables.
+
+Four training-data-pipeline operators the round-2 inventory lacked, each
+engine-portable by construction (integer/ppm outputs, md5 keys, matched
+IEEE expression shapes — the repo's standard parity conventions):
+
+- ``substring_span_dedup`` — exact duplicated-substring *span* detection
+  (the "Deduplicating Training Data Makes Language Models Better"
+  operator, arXiv:2107.06499): mark every token k-gram whose hash occurs
+  in >= 2 distinct documents, then merge overlapping marked windows into
+  maximal spans per document (gaps-and-islands). Unlike document-level
+  near-dedup (dedup_minhash_lsh), this finds *embedded* duplicated
+  passages and reports how much of each document is boilerplate.
+- ``temperature_mix`` — multi-source mixing weights with alpha-temperature
+  rebalancing (alpha = 0.5, the multilingual-LM convention): per-language
+  weights w_l ∝ n_l^alpha, deterministic keep-decision per document via a
+  Knuth multiplicative hash so membership is stable under repartition.
+- ``diversity_prune`` — cluster-balanced corpus pruning: bucket embeddings
+  by sign-contrast LSH bits, cap every bucket at a fixed fraction of the
+  corpus (md5-ordered keep-first), report per-bucket kept/dropped — the
+  quota-sampling step of DataComp-style curation.
+- ``vocab_growth`` — Heaps'-law vocabulary-growth profile: new vs
+  cumulative token types per corpus decile, the standard corpus-health
+  diagnostic for tokenizer planning.
+
+Scale notes (100 TB): every operator here is linear and shuffle-light.
+substring_span_dedup never enumerates document *pairs* — duplicated grams
+are marked with one hash aggregation and joined back (semi join), so cost
+is O(total grams) regardless of how many documents share a passage (the
+all-pairs trap the LSH family avoids is structurally absent here too);
+the island merge is one window over (doc_id, start_pos). temperature_mix
+and vocab_growth reduce to one hash aggregation each plus a broadcast
+scalar (the A5 pattern). diversity_prune is one shuffle on a 16-value
+bucket key; at real scale the row_number-per-bucket ranking would be
+salted or replaced by a per-bucket threshold on the md5 key itself
+(documented in SCALE.md) — the quota semantics are unchanged.
+
+Reference anchor: the reference has no corpus-curation surface at all
+(it is a mobility lakehouse); these extend the BASELINE.json
+training-data north star alongside queries/dedup.py and queries/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec, register
+from .tables import load
+
+# --- exact duplicated-substring spans ---------------------------------------
+
+_K = 8  # tokens per window; spans are maximal unions of duplicated windows
+
+_TOKENIZE = "[^a-z]+"
+
+
+def _tokens_col() -> F.Column:
+    return F.filter(F.split(F.lower("text"), _TOKENIZE), lambda x: x != "")
+
+
+def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span accounting: token count, number of
+    maximal duplicated spans, tokens covered by them, and coverage ppm."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens_col().alias("l"))
+    # Guard: Spark's sequence(1, stop) is DESCENDING for stop < 1, so an
+    # under-length document must yield an empty start list explicitly.
+    starts = F.when(
+        F.size("l") >= _K, F.sequence(F.lit(1), F.size("l") - F.lit(_K - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toks.select(
+        "doc_id", F.explode(starts).alias("start_pos"), "l"
+    ).select(
+        "doc_id",
+        "start_pos",
+        F.md5(
+            F.array_join(F.slice(F.col("l"), F.col("start_pos"), _K), " ").cast(
+                "binary"
+            )
+        ).alias("gh"),
+    )
+    # One hash aggregation marks cross-document grams; no pair enumeration.
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh", "left_semi").select(
+        "doc_id",
+        "start_pos",
+        (F.col("start_pos") + F.lit(_K - 1)).alias("end_pos"),
+    )
+    # Gaps-and-islands: a window starts a new span iff it begins past the
+    # running max end + 1 (adjacent windows merge — they share k-1 tokens).
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start_pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        marked.withColumn("prev_end", F.max("end_pos").over(w_prev))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("start_pos") > F.coalesce(F.col("prev_end"), F.lit(-1)) + 1, 1
+            ).otherwise(0),
+        )
+        .withColumn("span_id", F.sum("new_span").over(w_run))
+    )
+    spans = islands.groupBy("doc_id", "span_id").agg(
+        (F.max("end_pos") - F.min("start_pos") + 1).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"), F.sum("span_len").alias("dup_tokens")
+    )
+    base = toks.select("doc_id", F.size("l").cast("bigint").alias("n_tokens"))
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+    )
+    return joined.withColumn(
+        "dup_ratio_ppm",
+        F.when(F.col("n_tokens") == 0, F.lit(0)).otherwise(
+            F.round(F.col("dup_tokens") * 1000000.0 / F.col("n_tokens"))
+        ).cast("bigint"),
+    )
+
+
+_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKENIZE}'), x -> x <> '') AS l
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(range(1, CASE WHEN len(l) >= {_K} THEN len(l) - {_K - 1} ELSE 0 END + 1)) AS start_pos,
+         l
+  FROM toks
+), hashed AS (
+  SELECT doc_id, start_pos,
+         md5(array_to_string(list_slice(l, start_pos, start_pos + {_K - 1}), ' ')) AS gh
+  FROM grams
+), dup AS (
+  SELECT gh FROM hashed GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT doc_id, start_pos, start_pos + {_K - 1} AS end_pos
+  FROM hashed WHERE gh IN (SELECT gh FROM dup)
+), islands AS (
+  SELECT doc_id, start_pos, end_pos,
+         SUM(CASE WHEN start_pos > COALESCE(prev_end, -1) + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY start_pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM (
+    SELECT doc_id, start_pos, end_pos,
+           MAX(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM marked
+  ) m
+), spans AS (
+  SELECT doc_id, span_id, MAX(end_pos) - MIN(start_pos) + 1 AS span_len
+  FROM islands GROUP BY doc_id, span_id
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(span_len) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.l) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(CASE WHEN len(t.l) = 0 THEN 0
+                 ELSE ROUND(CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) * 1000000.0
+                            / CAST(len(t.l) AS BIGINT)) END AS BIGINT) AS dup_ratio_ppm
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --- alpha-temperature source mixing ----------------------------------------
+
+_KNUTH = 2654435761  # Knuth multiplicative hash; mod 2^32 below
+_M32 = 4294967296
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixing weights w_l ∝ n_l^0.5 plus the deterministic
+    downsample they imply. sqrt is quantized to micro-units BEFORE the
+    cross-language sum so the normalizer is an order-free integer sum
+    (the repo's fixed-point convention); the keep-decision hashes doc_id
+    with a Knuth multiplicative hash — no rand(), membership is stable
+    under repartitioning and appends like train_test_split."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_before"))
+        .withColumn(
+            "wq",
+            F.round(F.sqrt(F.col("n_before").cast("double")) * 1000000.0).cast(
+                "bigint"
+            ),
+        )
+    )
+    tot = counts.agg(
+        F.sum("wq").alias("tot_wq"), F.sum("n_before").alias("tot_docs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_before",
+        F.round(F.col("wq") * 1000000.0 / F.col("tot_wq")).cast("bigint").alias(
+            "weight_ppm"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.col("tot_docs").cast("double")
+            * F.col("wq")
+            / F.col("tot_wq")
+            / F.col("n_before"),
+        ).alias("rate"),
+    )
+    u = (F.col("doc_id").cast("bigint") * F.lit(_KNUTH)) % F.lit(_M32)
+    return (
+        d.select("lang", "doc_id")
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_before", "weight_ppm", "rate")
+        .agg(
+            F.sum(
+                F.when(u.cast("double") < F.col("rate") * float(_M32), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select(
+            "lang",
+            "n_before",
+            "weight_ppm",
+            F.round(F.col("rate") * 1000000.0).cast("bigint").alias("rate_ppm"),
+            "n_kept",
+        )
+    )
+
+
+_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_before,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS wq
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(wq) AS BIGINT) AS tot_wq,
+         CAST(SUM(n_before) AS BIGINT) AS tot_docs
+  FROM counts
+), rates AS (
+  SELECT lang, n_before,
+         CAST(ROUND(wq * 1000000.0 / tot_wq) AS BIGINT) AS weight_ppm,
+         least(1.0, CAST(tot_docs AS DOUBLE) * wq / tot_wq / n_before) AS rate
+  FROM counts, tot
+)
+SELECT r.lang,
+       CAST(r.n_before AS BIGINT) AS n_before,
+       r.weight_ppm,
+       CAST(ROUND(r.rate * 1000000.0) AS BIGINT) AS rate_ppm,
+       CAST(SUM(CASE WHEN CAST((CAST(d.doc_id AS BIGINT) * {_KNUTH}) % {_M32} AS DOUBLE)
+                          < r.rate * {_M32}.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d JOIN rates r USING (lang)
+GROUP BY r.lang, r.n_before, r.weight_ppm, r.rate
+"""
+
+
+# --- cluster-balanced diversity pruning -------------------------------------
+
+_CAP_FRAC = 0.1  # per-bucket quota as a fraction of the whole corpus
+# Sign-contrast LSH bits: pairs of embedding dimensions spread across the
+# vector. Pure column arithmetic — the identical expressions run in DuckDB.
+_BIT_PAIRS = ((1, 9, 8), (17, 25, 4), (33, 41, 2), (49, 57, 1))
+
+
+def q_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota-cap every LSH bucket at a fixed fraction of the corpus and
+    report per-bucket kept/dropped counts (DataComp-style cluster-balanced
+    pruning; SemDeDup's cheaper cousin)."""
+    e = load(spark, sf_dir, "embeddings")
+    bucket = None
+    for i, j, w in _BIT_PAIRS:
+        bit = F.when(
+            F.element_at("embedding", i) > F.element_at("embedding", j), w
+        ).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", bucket.alias("bucket"))
+    tot = b.agg(F.count("*").alias("n_total_all"))
+    w_rank = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
+    )
+    ranked = (
+        b.crossJoin(F.broadcast(tot))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn(
+            "cap", F.ceil(F.col("n_total_all") * F.lit(_CAP_FRAC)).cast("bigint")
+        )
+    )
+    return (
+        ranked.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_total"),
+            F.sum(F.when(F.col("rn") <= F.col("cap"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .withColumn("n_dropped", (F.col("n_total") - F.col("n_kept")).cast("bigint"))
+    )
+
+
+_PRUNE_SQL = f"""
+WITH b AS (
+  SELECT vec_id,
+         (CASE WHEN embedding[1]  > embedding[9]  THEN 8 ELSE 0 END
+        + CASE WHEN embedding[17] > embedding[25] THEN 4 ELSE 0 END
+        + CASE WHEN embedding[33] > embedding[41] THEN 2 ELSE 0 END
+        + CASE WHEN embedding[49] > embedding[57] THEN 1 ELSE 0 END) AS bucket
+  FROM embeddings
+), tot AS (SELECT COUNT(*) AS n_total_all FROM b),
+ranked AS (
+  SELECT bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+         CAST(CEIL(n_total_all * {_CAP_FRAC}) AS BIGINT) AS cap
+  FROM b, tot
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY bucket
+"""
+
+
+# --- Heaps'-law vocabulary growth -------------------------------------------
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New vs cumulative token types per corpus decile (docs bucketed by
+    doc_id). The decile denominator is collected once and injected as a
+    literal (A5 pattern); the oracle recomputes it with a scalar subquery
+    — integer equality is exact, so the twins agree by construction."""
+    d = load(spark, sf_dir, "documents")
+    max_plus1 = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    tokens = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), _TOKENIZE)).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .withColumn(
+            "decile",
+            F.expr(
+                f"least(CAST(9 AS BIGINT), (CAST(doc_id AS BIGINT) * 10) div {max_plus1})"
+            ),
+        )
+    )
+    occ = tokens.groupBy("decile").agg(F.count("*").alias("n_tokens"))
+    first = (
+        tokens.groupBy("token")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        occ.join(first, "decile", "left")
+        .select(
+            "decile",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.coalesce(F.col("new_types"), F.lit(0)).cast("bigint").alias("new_types"),
+        )
+        .withColumn("cum_types", F.sum("new_types").over(w_cum).cast("bigint"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w_cum).cast("bigint"))
+    )
+
+
+_VOCAB_SQL = f"""
+WITH tok AS (
+  SELECT least(CAST(9 AS BIGINT),
+               (CAST(doc_id AS BIGINT) * 10)
+                 // (SELECT CAST(MAX(doc_id) AS BIGINT) + 1 FROM documents)) AS decile,
+         token
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '{_TOKENIZE}')) AS token
+    FROM documents
+  ) raw
+  WHERE token <> ''
+), occ AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY decile
+), first AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types
+  FROM (SELECT token, MIN(decile) AS decile FROM tok GROUP BY token) f
+  GROUP BY decile
+)
+SELECT o.decile, o.n_tokens,
+       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types,
+       CAST(SUM(COALESCE(f.new_types, 0))
+              OVER (ORDER BY o.decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types,
+       CAST(SUM(o.n_tokens)
+              OVER (ORDER BY o.decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+FROM occ o LEFT JOIN first f USING (decile)
+"""
+
+
+register(
+    QuerySpec(
+        "substring_span_dedup",
+        q_substring_span_dedup,
+        _SPAN_SQL,
+        survey="TD-dedup",
+        description="Exact duplicated-substring spans per doc (k-gram islands, Lee et al. 2021 style)",
+    )
+)
+register(
+    QuerySpec(
+        "temperature_mix",
+        q_temperature_mix,
+        _MIX_SQL,
+        survey="TD-mix",
+        description="Alpha-temperature (0.5) language rebalancing with deterministic keep-hash",
+    )
+)
+register(
+    QuerySpec(
+        "diversity_prune",
+        q_diversity_prune,
+        _PRUNE_SQL,
+        survey="TD-prune",
+        description="Cluster-balanced corpus pruning: LSH-bucket quota cap, kept/dropped per bucket",
+    )
+)
+register(
+    QuerySpec(
+        "vocab_growth",
+        q_vocab_growth,
+        _VOCAB_SQL,
+        survey="TXT-vocab",
+        description="Heaps'-law vocabulary growth per corpus decile (new vs cumulative types)",
+    )
+)

@@ -56,6 +56,7 @@ from . import pq  # noqa: F401,E402
 from . import spatialx  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
 from . import funnel  # noqa: F401,E402
+from . import curation  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -198,6 +199,9 @@ SUITES: dict[str, list[str]] = {
         # post-freeze operators plus the ST_Transform driver signal
         "multimodal_frames", "triangle_count", "dedup_containment",
         "spatial_transform",
+        # round-3 curation additions (queries/curation.py)
+        "substring_span_dedup", "temperature_mix", "diversity_prune",
+        "vocab_growth",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -216,7 +220,7 @@ _DESCR = {
     "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
     "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
     "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
-    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform)",
+    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform + curation: substring-spans/temperature-mix/diversity-prune/vocab-growth)",
     "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
 }
 
@@ -229,7 +233,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab",
     "analytic_window_suite": "W,S5,U",
 }
 

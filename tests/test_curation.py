@@ -1,0 +1,79 @@
+"""Semantic invariants for the round-3 curation operators
+(queries/curation.py). Exact cross-engine parity is covered by the
+parametrized sweep in test_oracle_parity.py; these tests pin the
+*meaning* of each result so a parity-preserving refactor cannot silently
+change semantics."""
+
+from __future__ import annotations
+
+from lakehouse_spain_mobility_spark.queries import load_all
+
+from conftest import SF_DIR_ORACLE
+
+REG = load_all()
+
+
+def _rows(spark, name):
+    return {  # keyed by first column for easy lookups
+        r[0]: r.asDict() for r in REG[name].build(spark, SF_DIR_ORACLE).collect()
+    }
+
+
+def test_substring_spans_bounded_and_present(spark):
+    rows = _rows(spark, "substring_span_dedup")
+    assert len(rows) == 500  # one row per document, including span-free docs
+    assert any(r["n_dup_spans"] > 0 for r in rows.values()), (
+        "testdata contains injected near-duplicates; spans must be found"
+    )
+    for r in rows.values():
+        # spans are merged intervals inside the doc: coverage is bounded
+        assert 0 <= r["dup_tokens"] <= r["n_tokens"]
+        assert 0 <= r["dup_ratio_ppm"] <= 1_000_000
+        # a span covers at least one full k-gram window (8 tokens)
+        if r["n_dup_spans"] > 0:
+            assert r["dup_tokens"] >= 8 * 1  # >= k tokens per span, >=1 span
+            assert r["dup_tokens"] >= 8 * r["n_dup_spans"] - 0  # k per span min
+        else:
+            assert r["dup_tokens"] == 0
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    rows = _rows(spark, "temperature_mix")
+    assert set(rows) == {"en", "es", "de", "fr", "zh"}
+    # alpha=0.5 rebalancing: the rarest language is upsampled to rate 1.0,
+    # the dominant language is downsampled below 1.0
+    rare = min(rows.values(), key=lambda r: r["n_before"])
+    dominant = max(rows.values(), key=lambda r: r["n_before"])
+    assert rare["rate_ppm"] == 1_000_000
+    assert dominant["rate_ppm"] < 1_000_000
+    assert dominant["n_kept"] < dominant["n_before"]
+    # weights normalize to ~1 (ppm rounding slack of one per language)
+    total_w = sum(r["weight_ppm"] for r in rows.values())
+    assert abs(total_w - 1_000_000) <= len(rows)
+    # keep-decisions are a subset of each language's documents
+    for r in rows.values():
+        assert 0 <= r["n_kept"] <= r["n_before"]
+
+
+def test_diversity_prune_respects_quota(spark):
+    rows = _rows(spark, "diversity_prune")
+    total = sum(r["n_total"] for r in rows.values())
+    assert total == 500
+    cap = -(-total // 10)  # ceil(total * 0.1)
+    for r in rows.values():
+        assert r["n_kept"] == min(r["n_total"], cap)
+        assert r["n_dropped"] == r["n_total"] - r["n_kept"]
+    # the sign-contrast buckets actually spread the corpus
+    assert len(rows) > 4
+
+
+def test_vocab_growth_is_monotone_heaps_curve(spark):
+    out = REG["vocab_growth"].build(spark, SF_DIR_ORACLE).orderBy("decile").collect()
+    assert [r["decile"] for r in out] == list(range(10))
+    assert sum(r["new_types"] for r in out) == out[-1]["cum_types"]
+    assert sum(r["n_tokens"] for r in out) == out[-1]["cum_tokens"]
+    cum_t = [r["cum_types"] for r in out]
+    assert cum_t == sorted(cum_t)
+    # Heaps' law: type growth decelerates — the last decile adds fewer new
+    # types than the first (which adds its entire vocabulary)
+    assert out[-1]["new_types"] < out[0]["new_types"]
