@@ -127,18 +127,20 @@ def run_bq1_all_districts(wh: Warehouse, out_dir: str, year: int | None = None) 
     return {d: generate_district_report(wh, d, out_dir, year) for d in districts}
 
 
-def ranking_map_html(wh: Warehouse, out_path: str) -> str:
-    """Choropleth map of the infrastructure ranking
-    (dags/gravity/create_map.py:5-58): municipality polygons dissolved and
-    joined to the metrics, emitted as GeoJSON in a self-contained Leaflet
-    HTML page (Kepler.gl replacement)."""
+def _ranking_features(wh: Warehouse) -> list[dict]:
+    """Shared data path for both map artifacts: ranking metrics joined to
+    the municipality polygons, as GeoJSON features (the frame kepler/leaflet
+    render — dags/gravity/create_map.py:22-40)."""
     ranking = wh.read("gold_municipality_infrastructure_ranking")
     geo = wh.read("gold_geometry_wgs84")
     joined = (
         geo.join(
             F.broadcast(ranking), geo.municipality_id == ranking.origin_code
         )
-        .select("municipality_id", "geometry", "avg_mismatch_ratio", "infrastructure_status")
+        .select(
+            "municipality_id", "geometry", "avg_mismatch_ratio",
+            "n_destinations", "infrastructure_status",
+        )
         .toPandas()
     )
     features = []
@@ -154,6 +156,7 @@ def ranking_map_html(wh: Warehouse, out_path: str) -> str:
                 "properties": {
                     "municipality_id": row["municipality_id"],
                     "avg_mismatch_ratio": row["avg_mismatch_ratio"],
+                    "n_destinations": int(row["n_destinations"]),
                     "status": row["infrastructure_status"],
                 },
                 "geometry": {
@@ -162,6 +165,15 @@ def ranking_map_html(wh: Warehouse, out_path: str) -> str:
                 },
             }
         )
+    return features
+
+
+def ranking_map_html(wh: Warehouse, out_path: str) -> str:
+    """Choropleth map of the infrastructure ranking
+    (dags/gravity/create_map.py:5-58): municipality polygons dissolved and
+    joined to the metrics, emitted as GeoJSON in a self-contained Leaflet
+    HTML page (dependency-light fallback renderer)."""
+    features = _ranking_features(wh)
     geojson = json.dumps({"type": "FeatureCollection", "features": features})
     html = f"""<!DOCTYPE html><html><head>
 <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
@@ -177,6 +189,109 @@ var layer = L.geoJSON(data, {{style: function(f) {{
   return l.feature.properties.municipality_id + ': ' + l.feature.properties.status;
 }}).addTo(map);
 map.fitBounds(layer.getBounds());
+</script></body></html>"""
+    with open(out_path, "w", encoding="utf-8") as f:
+        f.write(html)
+    return out_path
+
+
+def kepler_map_html(wh: Warehouse, out_path: str) -> str:
+    """Kepler.gl-style interactive map artifact — the K9 parity renderer for
+    ``KeplerGl(...).save_to_html`` (dags/gravity/create_map.py:46-54).
+
+    Emits kepler.gl's documented export shape: the UMD bundle + React from
+    CDN, and one ``addDataToMap`` payload (kepler's public action API) with
+    a ``datasets`` entry in processor row format (typed ``fields`` +
+    ``rows``, geometry in a ``_geojson`` column) and a ``config`` in
+    kepler's v1 map-config schema (a geojson layer colored by
+    infrastructure_status). The payload is embedded as an inert
+    ``application/json`` script block and dispatched on load, so the
+    artifact is inspectable (and testable) without executing JS."""
+    features = _ranking_features(wh)
+    rows = [
+        [
+            json.dumps(f["geometry"]),
+            f["properties"]["municipality_id"],
+            f["properties"]["avg_mismatch_ratio"],
+            f["properties"]["n_destinations"],
+            f["properties"]["status"],
+        ]
+        for f in features
+    ]
+    # map centering: mean of first-ring first-vertex per polygon
+    lons = [f["geometry"]["coordinates"][0][0][0] for f in features] or [0.0]
+    lats = [f["geometry"]["coordinates"][0][0][1] for f in features] or [0.0]
+    payload = {
+        "datasets": [
+            {
+                "info": {"id": "infrastructure", "label": "infrastructure"},
+                "data": {
+                    "fields": [
+                        {"name": "_geojson", "type": "geojson"},
+                        {"name": "municipality_id", "type": "string"},
+                        {"name": "avg_mismatch_ratio", "type": "real"},
+                        {"name": "n_destinations", "type": "integer"},
+                        {"name": "infrastructure_status", "type": "string"},
+                    ],
+                    "rows": rows,
+                },
+            }
+        ],
+        "config": {
+            "version": "v1",
+            "config": {
+                "visState": {
+                    "layers": [
+                        {
+                            "id": "ranking",
+                            "type": "geojson",
+                            "config": {
+                                "dataId": "infrastructure",
+                                "label": "infrastructure",
+                                "columns": {"geojson": "_geojson"},
+                                "visConfig": {"opacity": 0.6, "stroked": True},
+                                "colorField": {
+                                    "name": "infrastructure_status",
+                                    "type": "string",
+                                },
+                            },
+                        }
+                    ]
+                },
+                "mapState": {
+                    "latitude": sum(lats) / len(lats),
+                    "longitude": sum(lons) / len(lons),
+                    "zoom": 7,
+                },
+            },
+        },
+        "options": {"centerMap": False, "readOnly": False},
+    }
+    html = f"""<!DOCTYPE html><html><head><meta charset="utf-8"/>
+<title>infrastructure_map</title>
+<script src="https://unpkg.com/react@18/umd/react.production.min.js"></script>
+<script src="https://unpkg.com/react-dom@18/umd/react-dom.production.min.js"></script>
+<script src="https://unpkg.com/redux@4/dist/redux.min.js"></script>
+<script src="https://unpkg.com/react-redux@8/dist/react-redux.min.js"></script>
+<script src="https://unpkg.com/styled-components@5/dist/styled-components.min.js"></script>
+<script src="https://unpkg.com/kepler.gl@3/umd/keplergl.min.js"></script>
+<style>body{{margin:0}} #app{{height:100vh}}</style></head><body>
+<div id="app"></div>
+<script type="application/json" id="kepler-payload">{json.dumps(payload)}</script>
+<script>
+(function() {{
+  var payload = JSON.parse(document.getElementById('kepler-payload').textContent);
+  var reducers = Redux.combineReducers({{keplerGl: KeplerGl.keplerGlReducer}});
+  var middlewares = KeplerGl.enhanceReduxMiddleware([]);
+  var store = Redux.createStore(reducers, {{}},
+      Redux.compose(Redux.applyMiddleware.apply(null, middlewares)));
+  var app = React.createElement(ReactRedux.Provider, {{store: store}},
+      React.createElement(KeplerGl.KeplerGl, {{
+        id: 'map', width: window.innerWidth, height: window.innerHeight,
+      }}));
+  ReactDOM.render(app, document.getElementById('app'));
+  store.dispatch(KeplerGl.addDataToMap(payload));
+}})();
 </script></body></html>"""
     with open(out_path, "w", encoding="utf-8") as f:
         f.write(html)

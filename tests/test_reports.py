@@ -106,6 +106,35 @@ def test_ranking_map_html(wh, tmp_path):
     assert all(f["geometry"]["coordinates"][0] for f in gj["features"])
 
 
+def test_kepler_map_html(wh, tmp_path):
+    """K9 Kepler parity: the artifact carries kepler.gl's documented
+    export shape — CDN bundle, addDataToMap payload with typed fields +
+    rows (geometry as _geojson), and a v1 map config."""
+    out = reports.kepler_map_html(wh, str(tmp_path / "infrastructure_map.html"))
+    html = open(out, encoding="utf-8").read()
+    assert "kepler.gl" in html and "addDataToMap" in html
+    payload = json.loads(
+        html.split('id="kepler-payload">', 1)[1].split("</script>", 1)[0]
+    )
+    ds = payload["datasets"][0]
+    assert ds["info"]["id"] == "infrastructure"
+    names = [f["name"] for f in ds["data"]["fields"]]
+    assert names == [
+        "_geojson", "municipality_id", "avg_mismatch_ratio",
+        "n_destinations", "infrastructure_status",
+    ]
+    assert len(ds["data"]["rows"]) > 0
+    for row in ds["data"]["rows"]:
+        assert len(row) == len(names)
+        geom = json.loads(row[0])
+        assert geom["type"] == "Polygon" and geom["coordinates"][0]
+    cfg = payload["config"]
+    assert cfg["version"] == "v1"
+    layer = cfg["config"]["visState"]["layers"][0]
+    assert layer["type"] == "geojson"
+    assert layer["config"]["columns"]["geojson"] == "_geojson"
+
+
 def test_schema_dump(wh, tmp_path):
     out = reports.dump_schemas_csv(wh, str(tmp_path / "schemas.csv"))
     lines = open(out, encoding="utf-8").read().strip().splitlines()
