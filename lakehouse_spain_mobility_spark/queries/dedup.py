@@ -265,8 +265,19 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
-    truth = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d1", "d2")
-    cands = dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh))).select("d1", "d2")
+    # Both pair sets feed two consumers each (their own COUNT and the hits
+    # semi-join): checkpoint so the Jaccard self-join and the full
+    # MinHash/band pipeline run once, not twice.
+    truth = (
+        dd.jaccard_pairs(capped, min_jaccard=0.5)
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
+    cands = (
+        dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
     hits = truth.join(cands, ["d1", "d2"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_true"))

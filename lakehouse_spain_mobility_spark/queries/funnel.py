@@ -54,14 +54,21 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = quality.select("doc_id", ta.fingerprint_md5(F.col("text")).alias("fp"))
     keep_first = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = quality.join(keep_first.select("doc_id"), "doc_id", "left_semi")
+    # Stage frontiers below are eager-checkpointed: every later stage count
+    # (and the split rollup) consumes each survivor set, and because all
+    # eight stage counts union into ONE action a lazy checkpoint would
+    # still recompute the chain per branch within that job — eager
+    # materializes each survivor set exactly once.
+    exact = quality.join(
+        keep_first.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
 
-    sh = dd.shingles(exact, "doc_id", "text").localCheckpoint(eager=False)
+    sh = dd.shingles(exact, "doc_id", "text").localCheckpoint(eager=True)
     capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     pairs = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d2").distinct()
     fuzzy = exact.join(
         pairs.select(F.col("d2").alias("doc_id")), "doc_id", "left_anti"
-    )
+    ).localCheckpoint(eager=True)
 
     def grams(df, w):
         words = F.split(F.col("text"), " ")
@@ -86,7 +93,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = fuzzy.join(contaminated, "doc_id", "left_anti")
+    clean = fuzzy.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
 
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
     split = clean.select(
