@@ -23,9 +23,9 @@ BENCH2 = [
     "tpch_q2", "tpch_q11", "tpch_q16", "tpch_q20",
     "multimodal_features", "multimodal_frames", "triangle_count",
     "dedup_containment", "spatial_transform",
-    # round-3 curation operators (queries/curation.py)
+    # round-3 curation operators (queries/curation.py, queries/nested.py)
     "substring_span_dedup", "temperature_mix", "diversity_prune",
-    "vocab_growth",
+    "vocab_growth", "quality_logreg", "nested_types_battery",
 ]
 
 

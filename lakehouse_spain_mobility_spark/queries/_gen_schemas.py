@@ -28,8 +28,8 @@ def regenerate() -> pathlib.Path:
     from . import REGISTRY
     from . import (  # noqa: F401 — registration side effects
         advanced, battery, bloom, core, curation, dedup, extra, funnel,
-        graphrank, gravity, lm, mlprep, multimodal, pq, relational, scd,
-        search, spatialx, similarity, storage, text, timeseries, tpch,
+        graphrank, gravity, lm, mlprep, multimodal, nested, pq, relational,
+        scd, search, spatialx, similarity, storage, text, timeseries, tpch,
     )
     from .tables import TABLE_NAMES
 

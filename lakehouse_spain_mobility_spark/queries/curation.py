@@ -412,6 +412,73 @@ FROM occ o LEFT JOIN first f USING (decile)
 """
 
 
+# --- classifier-based quality filtering -------------------------------------
+
+# Fixed logistic-regression weights over cheap lexical features — the
+# linear-inference stand-in for the fastText/DSIR-style learned quality
+# gates real curation pipelines run. Inference is pure codegen arithmetic;
+# the only transcendental (exp in the sigmoid) gets bit-identical inputs
+# on both engines (integer-derived doubles through identical expression
+# shapes) and its output is ppm-quantized, the repo's standard
+# transcendental-parity convention (cf. queries/lm.py).
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
+_LOGREG_B0 = -2.0
+_LOGREG_W = (0.8, -0.25, 2.5, 1.5)  # n_tok/100, mean_wlen, stop_ratio, distinct_ratio
+_LOGREG_THRESHOLD = 145000  # ppm; ~median of the synthetic corpus
+
+
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality score from a fixed logistic model over lexical
+    features, plus the keep decision at the ppm threshold."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    n_dist = F.size(F.array_distinct(toks))
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    mean_wlen = dbl(F.length("text") - n_tok + 1) / dbl(n_tok)
+    z = (
+        F.lit(_LOGREG_B0)
+        + F.lit(_LOGREG_W[0]) * (dbl(n_tok) / F.lit(100.0))
+        + F.lit(_LOGREG_W[1]) * mean_wlen
+        + F.lit(_LOGREG_W[2]) * (dbl(n_stop) / dbl(n_tok))
+        + F.lit(_LOGREG_W[3]) * (dbl(n_dist) / dbl(n_tok))
+    )
+    score = F.round(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-z))).cast("bigint")
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        score.alias("score_ppm"),
+        (score >= _LOGREG_THRESHOLD).cast("int").alias("kept"),
+    )
+
+
+_LOGREG_SQL = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '),
+             x -> x IN ({', '.join("'" + w + "'" for w in _STOPWORDS)}))) AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_dist,
+         len(text) AS n_chars
+  FROM documents
+), scored AS (
+  SELECT doc_id, n_tok,
+         CAST(ROUND(1000000.0 / (1.0 + exp(-(
+             {_LOGREG_B0}
+             + {_LOGREG_W[0]} * (CAST(n_tok AS DOUBLE) / 100.0)
+             + {_LOGREG_W[1]} * (CAST(n_chars - n_tok + 1 AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + {_LOGREG_W[2]} * (CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + {_LOGREG_W[3]} * (CAST(n_dist AS DOUBLE) / CAST(n_tok AS DOUBLE))
+         )))) AS BIGINT) AS score_ppm
+  FROM feats
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens, score_ppm,
+       CAST(score_ppm >= {_LOGREG_THRESHOLD} AS INTEGER) AS kept
+FROM scored
+"""
+
+
 register(
     QuerySpec(
         "substring_span_dedup",
@@ -446,5 +513,14 @@ register(
         _VOCAB_SQL,
         survey="TXT-vocab",
         description="Heaps'-law vocabulary growth per corpus decile (new vs cumulative types)",
+    )
+)
+register(
+    QuerySpec(
+        "quality_logreg",
+        q_quality_logreg,
+        _LOGREG_SQL,
+        survey="TXT-clf",
+        description="Logistic quality classifier inference (fixed weights, ppm sigmoid, keep flag)",
     )
 )

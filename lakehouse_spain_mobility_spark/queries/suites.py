@@ -57,6 +57,7 @@ from . import spatialx  # noqa: F401,E402
 from . import lm  # noqa: F401,E402
 from . import funnel  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
+from . import nested  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -199,9 +200,9 @@ SUITES: dict[str, list[str]] = {
         # post-freeze operators plus the ST_Transform driver signal
         "multimodal_frames", "triangle_count", "dedup_containment",
         "spatial_transform",
-        # round-3 curation additions (queries/curation.py)
+        # round-3 curation additions (queries/curation.py, queries/nested.py)
         "substring_span_dedup", "temperature_mix", "diversity_prune",
-        "vocab_growth",
+        "vocab_growth", "quality_logreg", "nested_types_battery",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -233,7 +234,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested",
     "analytic_window_suite": "W,S5,U",
 }
 

@@ -67,6 +67,18 @@ def test_diversity_prune_respects_quota(spark):
     assert len(rows) > 4
 
 
+def test_quality_logreg_scores_split_the_corpus(spark):
+    rows = _rows(spark, "quality_logreg")
+    assert len(rows) == 500
+    for r in rows.values():
+        assert 0 < r["score_ppm"] < 1_000_000  # sigmoid is open-interval
+        assert r["kept"] in (0, 1)
+        assert r["kept"] == (1 if r["score_ppm"] >= 145_000 else 0)
+    kept = sum(r["kept"] for r in rows.values())
+    # the threshold sits near the corpus median: both classes non-trivial
+    assert 100 < kept < 400
+
+
 def test_vocab_growth_is_monotone_heaps_curve(spark):
     out = REG["vocab_growth"].build(spark, SF_DIR_ORACLE).orderBy("decile").collect()
     assert [r["decile"] for r in out] == list(range(10))
