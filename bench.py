@@ -26,6 +26,7 @@ BENCH2 = [
     # round-3 curation operators (queries/curation.py, queries/nested.py)
     "substring_span_dedup", "temperature_mix", "diversity_prune",
     "vocab_growth", "quality_logreg", "nested_types_battery",
+    "window_frames_battery",
 ]
 
 

@@ -440,9 +440,60 @@ GROUP BY event_type
 """
 
 
+# --- Window frame battery: value frames + boundary navigation ---------------
+def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame shapes window_battery doesn't cover: first/last/nth_value
+    under explicit ROWS frames, a centered ±2-row moving window, and a
+    numeric RANGE offset frame (5 value-units back, peers included). One
+    shuffle on event_type serves the ROWS windows; the RANGE window sorts
+    on the floored value within the same partitioning."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fut = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    w_mov = w.rowsBetween(-2, 2)
+    w_rng = (
+        Window.partitionBy("event_type")
+        .orderBy(F.floor("value").cast("long"))
+        .rangeBetween(-5, 0)
+    )
+    mov_sum = F.sum(
+        F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
+    ).over(w_mov)
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.first("event_id").over(w_cum).alias("fv"),
+        F.last("event_id").over(w_fut).alias("lv"),
+        F.nth_value("event_id", 3).over(w_cum).alias("nth3"),
+        F.count("*").over(w_mov).cast("bigint").alias("mov_cnt"),
+        mov_sum.cast("long").alias("mov_sum_ppm"),
+        F.count("*").over(w_rng).cast("bigint").alias("rng_cnt"),
+    )
+
+
+_WINDOW_FRAMES_SQL = """
+SELECT event_id, event_type,
+       FIRST_VALUE(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv,
+       LAST_VALUE(event_id) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS lv,
+       NTH_VALUE(event_id, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth3,
+       CAST(COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS mov_cnt,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS DECIMAL(38,0)))
+                OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT) AS mov_sum_ppm,
+       CAST(COUNT(*) OVER (PARTITION BY event_type
+                           ORDER BY CAST(FLOOR(value) AS BIGINT)
+                           RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS rng_cnt
+FROM events
+WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
 for _spec in [
     QuerySpec("approx_quantile", q_approx_quantile, _APPROX_QUANTILE_SQL, "A-approxq", False,
               "Approximate-median sketch contract vs exact interpolated percentile"),
+    QuerySpec("window_frames_battery", q_window_frames_battery, _WINDOW_FRAMES_SQL, "W-frames", False,
+              "Frame-shape battery: first/last/nth_value, centered ROWS frame, numeric RANGE offset"),
     QuerySpec("rolling_time_window", q_rolling_time_window, _ROLLING_SQL, "W-range", False,
               "Trailing-hour RANGE-frame rolling count/sum per event type"),
     QuerySpec("sliding_window", q_sliding_window, _SLIDING_SQL, "W-sliding", False,

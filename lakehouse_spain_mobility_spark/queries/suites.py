@@ -203,6 +203,7 @@ SUITES: dict[str, list[str]] = {
         # round-3 curation additions (queries/curation.py, queries/nested.py)
         "substring_span_dedup", "temperature_mix", "diversity_prune",
         "vocab_growth", "quality_logreg", "nested_types_battery",
+        "window_frames_battery",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
