@@ -237,3 +237,25 @@ def test_scd2_two_window_passes_share_sort(spark):
     schemas = pi.read_schemas(df)
     assert schemas and all("o_totalprice" not in s and "o_orderstatus" not in s for s in schemas), schemas
     assert pi.count_shuffles(df) <= 2
+
+
+def test_substring_span_dedup_no_pair_enumeration(spark):
+    """Round-3 span-dedup contract: duplicated k-grams are marked by a hash
+    aggregation and carried back by a semi join — the plan must contain no
+    cartesian/nested-loop product, and the documents scan must prune to
+    (doc_id, text)."""
+    df = REG["substring_span_dedup"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_nested_loop_joins(df) == 0
+    assert "CartesianProduct" not in pi.executed_plan(df)
+    schemas = pi.read_schemas(df)
+    assert schemas and all(
+        "lang" not in s and "source" not in s for s in schemas
+    ), schemas
+
+
+def test_temperature_mix_rate_table_broadcast(spark):
+    """TD-mix contract: the per-language rate table joins to the corpus as
+    a broadcast (5 rows), never a shuffle of the document side."""
+    df = REG["temperature_mix"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_broadcast_joins(df) >= 1
+    assert pi.count_sortmerge_joins(df) == 0
