@@ -27,6 +27,8 @@ BENCH2 = [
     "substring_span_dedup", "temperature_mix", "diversity_prune",
     "vocab_growth", "quality_logreg", "nested_types_battery",
     "window_frames_battery",
+    # round-3b web-curation operators (queries/webcur.py)
+    "line_dedup", "hamming_ann", "pmi_bigrams",
 ]
 
 

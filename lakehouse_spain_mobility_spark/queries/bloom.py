@@ -7,11 +7,12 @@ pipeline actually ships to executors is a *Bloom filter* over bench grams:
 a fixed-size bitmap (here 16 Ki bits = 512 64-row words, kilobytes instead
 of the gram strings), k=3 md5-derived probes per gram, zero false
 negatives, tunable false positives. This query materializes the filter as
-a relational bitmap (word_idx → 32-bit word, OR-aggregated), broadcasts
-it, probes every training gram, and reports per-language: docs flagged by
-the filter, docs flagged by the exact semi-join truth, and the
-false-positive overhang — the number a pipeline operator watches to size
-``m``.
+a relational bitmap (word_idx → 32-bit word, OR-aggregated), collects the
+≤512 words once and injects them as a literal array (the A5 scalar
+pattern), probes every training gram with row-local bit arithmetic, and
+reports per-language: docs flagged by the filter, docs flagged by the
+exact semi-join truth, and the false-positive overhang — the number a
+pipeline operator watches to size ``m``.
 
 Engine-portable by construction: probe positions come from fixed md5 hex
 substrings (identical in both engines), the bitmap is built with integer
@@ -82,7 +83,15 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_grams = grams(d.filter(F.col("doc_id") < _BENCH)).select("g").distinct()
 
     # Build: gram → k probe positions → (word_idx, mask) → OR-aggregate.
-    # <= m/32 rows regardless of bench size: THIS is what gets broadcast.
+    # <= m/32 rows regardless of bench size. The bitmap is collected once
+    # (a tiny aggregate over the pushdown-pruned bench docs — the A5
+    # scalar-injection pattern) and shipped to executors as a 512-word
+    # literal array: the filter probe then compiles to row-local codegen
+    # arithmetic with ZERO joins and ZERO extra shuffles on the training
+    # side. (The round-2 form stacked 3 probe rows per gram, joined the
+    # bitmap relationally, and re-grouped by the gram string — two full
+    # shuffles of the ~100M-row gram relation that this removes; measured
+    # 18.5 s → single-digit seconds at sf1.)
     probes = bench_grams.select(F.md5(F.col("g").cast("binary")).alias("h")).select(
         *_probe_cols(F.col("h"))
     )
@@ -98,33 +107,54 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    words = [0] * (_M_BITS // _WORD_BITS)
+    for row in bitmap.collect():
+        words[int(row["word_idx"])] = int(row["word"])
+    # F.lit(list) builds ONE ArrayType Literal node (constant, folded once)
+    # — never F.array(*lits), which re-evaluates a 512-element CreateArray
+    # per row per probe (measured 28 s vs 3.4 s at sf0.1).
+    word_arr = F.lit(words).cast("array<bigint>")
 
-    train_grams = grams(d.filter(F.col("doc_id") >= _BENCH)).select("doc_id", "lang", "g").distinct()
-    tp = train_grams.select(
-        "doc_id", "lang", "g", F.md5(F.col("g").cast("binary")).alias("h")
-    ).select("doc_id", "lang", "g", *_probe_cols(F.col("h")))
-    tpos = tp.selectExpr(
-        "doc_id", "lang", "g",
-        f"stack({_K}, {', '.join(f'p{i}' for i in range(_K))}) AS pos",
-    ).select(
-        "doc_id", "lang", "g",
-        (F.col("pos") / F.lit(_WORD_BITS)).cast("bigint").alias("word_idx"),
-        mask_expr.alias("mask"),
+    # Training side: one narrow map per pass, no gram distinct — flagging
+    # is existential per doc_id, so duplicate grams cannot change it.
+    # The explode multiplies work ~200× past the scan, so spread the RAW
+    # documents (cheap, pre-explosion) across the cluster first: a small
+    # parquet file arrives as one split, and without the round-2 distinct
+    # shuffle the whole gram pipeline would otherwise run in that single
+    # task (measured 24 s single-task vs ~3 s at 32-way, sf0.1).
+    train_docs = d.filter(F.col("doc_id") >= _BENCH).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    hits = (
-        tpos.join(F.broadcast(bitmap), "word_idx", "left")
-        .groupBy("doc_id", "lang", "g")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask"))) == F.col("mask"),
-                    F.lit(1),
-                ).otherwise(F.lit(0))
-            ).alias("n_hit")
+    train_grams = grams(train_docs)
+
+    def _bit_set(i: int) -> F.Column:
+        pos = F.col(f"p{i}")
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p{i} % {_WORD_BITS} AS INT))")
+        word = F.element_at(word_arr, (pos / F.lit(_WORD_BITS)).cast("int") + F.lit(1))
+        return word.bitwiseAND(mask) == mask
+
+    # The explode(array(...)) wrappers are PROJECTION BARRIERS: Catalyst's
+    # CollapseProject inlines select-chain expressions into every use site,
+    # so without them each p{i} reference re-evaluates its md5 (9 md5s per
+    # gram across the three bit tests — measured 46 s vs 2.3 s at sf1).
+    # Generate nodes are not collapsed, so h and the probe struct are each
+    # computed exactly once per gram.
+    tp = (
+        train_grams.select(
+            "doc_id", F.explode(F.array(F.md5(F.col("g").cast("binary")))).alias("h")
         )
+        .select(
+            "doc_id",
+            F.explode(F.array(F.struct(*_probe_cols(F.col("h"))))).alias("p"),
+        )
+        .select("doc_id", "p.*")
     )
+    all_set = None
+    for i in range(_K):
+        bit = _bit_set(i)
+        all_set = bit if all_set is None else all_set & bit
     bloom_flagged = (
-        hits.filter(F.col("n_hit") == _K).select("doc_id").distinct().withColumn("bloom", F.lit(1))
+        tp.filter(all_set).select("doc_id").distinct().withColumn("bloom", F.lit(1))
     )
     exact_flagged = (
         train_grams.join(F.broadcast(bench_grams), "g", "left_semi")

@@ -5,8 +5,9 @@ trained on the corpus (or a trusted reference corpus); high-perplexity
 documents are dropped or down-weighted. Re-expressed Spark-first as a
 bigram model with add-one smoothing:
 
-- one corpus pass builds bigrams via ``lead()`` over (doc, position) — no
-  self-join, and empty tokens can't break adjacency,
+- bigrams come from zipping each document's empty-filtered token array
+  with its own 1-shifted tail — narrow codegen, no self-join, no doc-key
+  window sort, and empty tokens can't break adjacency,
 - model tables (bigram counts, history counts, vocab size) are relational
   aggregates; the scorer joins them back and averages negative log-prob
   per document,
@@ -37,21 +38,37 @@ _TOP_K = 20
 
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
-    ).filter(F.col("token") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bigrams = (
-        toks.select("doc_id", "token", F.lead("token").over(w).alias("nxt"))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.col("token").alias("w1"), F.col("nxt").alias("w2"))
+    # Adjacency comes from zipping the (empty-filtered) token array with
+    # its own 1-shifted tail — pure narrow codegen, NO doc-key window. The
+    # round-2 form built bigrams with lead() over (doc_id, pos); Catalyst
+    # recomputes the `bigrams` subtree for each of its consumers, so that
+    # window's shuffle-sort ran three times per query.
+    warr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # explode(array(...)) is a projection barrier: the split+filter array
+    # is referenced five times below (size guard + two slice bounds + two
+    # slice sources), and CollapseProject would otherwise re-evaluate the
+    # tokenization per reference (cf. queries/bloom.py probe barrier).
+    docs = d.select("doc_id", F.explode(F.array(warr)).alias("wa"))
+    pairs = F.when(
+        F.size("wa") >= 2,
+        F.arrays_zip(
+            F.slice(F.col("wa"), F.lit(1), F.size("wa") - 1),
+            F.slice(F.col("wa"), F.lit(2), F.size("wa") - 1),
+        ),
+    )  # NULL (→ zero exploded rows) for under-length docs
+    bigrams = docs.select("doc_id", F.explode(pairs).alias("pr")).select(
+        "doc_id", F.col("pr")["0"].alias("w1"), F.col("pr")["1"].alias("w2")
     )
     c12 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = toks.select("token").distinct().agg(F.count("*").alias("v"))
+    # c1 is an exact re-aggregate of the c12 model table (Σ counts per w1)
+    # — vocab-sized, broadcastable; no third pass over the corpus.
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = d.select(F.explode(warr).alias("token")).agg(
+        F.count_distinct("token").alias("v")
+    )
     lnp = (
         bigrams.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        .join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
@@ -150,28 +167,31 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
-    target = toks.filter(F.col("doc_id") < _DSIR_BENCH)
     raw = toks.filter(F.col("doc_id") >= _DSIR_BENCH)
-    ct = target.groupBy("token").agg(F.count("*").alias("ct"))
-    cr = raw.groupBy("token").agg(F.count("*").alias("cr"))
-    totals = (
-        target.agg(F.count("*").alias("nt"))
-        .crossJoin(raw.agg(F.count("*").alias("nr")))
-        .crossJoin(toks.select("token").distinct().agg(F.count("*").alias("v")))
+    # ONE token-level aggregation is the whole model: per-token target and
+    # raw counts side by side; the scalars (nt, nr, v) are tiny re-aggregates
+    # of that model table, NOT further corpus passes. (The round-2 form built
+    # ct, cr, nt, nr and v as five separate aggregations — the corpus was
+    # exploded ~6×; this explodes it twice: model pass + scoring pass.)
+    model = toks.groupBy("token").agg(
+        F.sum(F.when(F.col("doc_id") < _DSIR_BENCH, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("doc_id") >= _DSIR_BENCH, 1).otherwise(0)).alias("cr"),
+    )
+    totals = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr"), F.count("*").alias("v")
     )
 
     def _lnq(c):
         return F.round(F.log(c) * F.lit(1e6)) / F.lit(1e6)
 
     contrib = (
-        raw.join(F.broadcast(ct), "token", "left")
-        .join(F.broadcast(cr), "token")
+        raw.join(F.broadcast(model), "token")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
             (
                 _lnq(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                    (F.col("ct") + F.lit(1)).cast("double")
                     / (F.col("nt") + F.col("v")).cast("double")
                 )
                 - _lnq(

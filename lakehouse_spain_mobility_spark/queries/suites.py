@@ -58,6 +58,7 @@ from . import lm  # noqa: F401,E402
 from . import funnel  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import nested  # noqa: F401,E402
+from . import webcur  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -204,6 +205,8 @@ SUITES: dict[str, list[str]] = {
         "substring_span_dedup", "temperature_mix", "diversity_prune",
         "vocab_growth", "quality_logreg", "nested_types_battery",
         "window_frames_battery",
+        # round-3b web-curation additions (queries/webcur.py)
+        "line_dedup", "hamming_ann", "pmi_bigrams",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -222,7 +225,7 @@ _DESCR = {
     "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
     "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
     "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
-    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform + curation: substring-spans/temperature-mix/diversity-prune/vocab-growth)",
+    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform + curation: substring-spans/temperature-mix/diversity-prune/vocab-growth + line-dedup/hamming-ANN/PMI)",
     "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
 }
 
@@ -235,7 +238,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi",
     "analytic_window_suite": "W,S5,U",
 }
 

@@ -820,9 +820,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         ps.ps_suppkey == F.col("s_suppkey"),
     ).withColumn("value", F.col("ps_qty") * F.col("ps_unitcost"))
     per_part = nat_ps.groupBy("ps_partkey").agg(dsum(F.col("value")).alias("part_value"))
-    total = nat_ps.agg(dsum(F.col("value")).alias("total_value"))
+    # The global scalar is an exact re-aggregate of the per-part sums (the
+    # fixed-point micros are integers, so Σ of group sums ≡ the row-level
+    # Σ the oracle computes — exact while each part's micro-sum stays in
+    # the double-exact range < 2^53, i.e. part values < ~9e9 units) taken
+    # as a global window over the part-level frame — ONE execution of the
+    # ps/nat_ps subtree instead of the two a separate .agg() branch would
+    # trigger. The windowed partition holds only part-level rows
+    # (dimension-sized), never lineitems.
+    from pyspark.sql import Window
+
+    from ..functions.deterministic import dsum_over
+
+    w_all = Window.partitionBy()
     return (
-        per_part.crossJoin(F.broadcast(total))
+        per_part.withColumn("total_value", dsum_over(F.col("part_value"), w_all))
         .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
         .select(
             "ps_partkey",

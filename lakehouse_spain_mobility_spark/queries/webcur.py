@@ -1,0 +1,353 @@
+"""Round-3b web-corpus curation operators: line-level dedup, binary-sig
+ANN, and PMI collocations over the documents/embeddings tables.
+
+Three more training-data-pipeline operators, engine-portable by
+construction (integer/ppm outputs, md5 keys, matched IEEE expression
+shapes — the repo's standard parity conventions):
+
+- ``line_dedup`` — C4-style line-level deduplication (Raffel et al. 2020,
+  arXiv:1910.10683 §2.2 "we discarded all but one of any three-sentence
+  span occurring more than once"): segment every document into lines,
+  keep only the globally-first occurrence of each distinct line, and
+  report per document how many lines/tokens survive plus the md5 of the
+  reassembled text. The synthetic corpus has no newlines, so a "line" is
+  a fixed 15-token segment — on a real corpus the segmentation expression
+  is ``split(text, '\\n')`` and every other part of the plan is unchanged.
+- ``hamming_ann`` — binary-signature approximate nearest neighbour: each
+  64-dim embedding compresses to 64 sign bits packed into two 32-bit
+  words (32× smaller than float32; the sign-random-projection LSH family,
+  Charikar 2002), and top-5 neighbours per query rank by Hamming distance
+  computed with XOR + bit_count — pure integer codegen, no floats at
+  query time.
+- ``pmi_bigrams`` — pointwise mutual information collocations: the
+  top-20 token bigrams by PMI among those occurring >= 5 times, the
+  classic corpus-statistics operator for tokenizer/stop-phrase audits.
+
+Scale notes (100 TB):
+
+- ``line_dedup`` is the one shuffle it looks like: lines hash-partition
+  by line-hash for the global keep-first rank (linear, no pair
+  enumeration), then one doc-key aggregation reassembles survivors. The
+  keep-first ROW_NUMBER per line-hash is the only rank; a boilerplate
+  line shared by millions of documents lands in one partition's group but
+  only as (hash, doc_id, line_no) triples — for adversarial skew the
+  rank flips to a min-aggregation join-back, same semantics.
+- ``hamming_ann`` stores the corpus as two BIGINT words per vector; the
+  query side (10 rows) broadcasts, distances are XOR+popcount per
+  (corpus row × query), and per-query top-5 is a TakeOrdered-shaped
+  window. At web scale the same signatures become the prefilter banding
+  key (group by a 16-bit signature prefix) before exact re-ranking —
+  the representation, not the loop, is what this operator pins.
+- ``pmi_bigrams`` is two narrow explodes and two hash aggregations; the
+  bigram->unigram count lookups broadcast (Zipf-bounded model tables,
+  same argument as queries/lm.py), and the >= 5 count floor prunes the
+  long tail before any join.
+
+Reference anchor: the reference (a mobility lakehouse) has no corpus
+curation surface; these extend the training-data north star alongside
+queries/curation.py, queries/dedup.py and queries/lm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import QuerySpec, register
+from .tables import load
+
+# --- C4-style line-level dedup ----------------------------------------------
+
+_LINE_TOKENS = 15  # fixed segmentation stand-in for '\n' on real corpora
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    # explode(array(...)) is a projection barrier (cf. queries/bloom.py):
+    # the token array is referenced by the line count, the slice bounds
+    # and the slices — CollapseProject would re-tokenize per reference.
+    docs = d.select("doc_id", F.explode(F.array(toks)).alias("w"))
+    n_lines = F.ceil(F.size("w") / F.lit(_LINE_TOKENS)).cast("int")
+    lines = docs.select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        n_lines.cast("bigint").alias("n_lines"),
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+        "w",
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_lines",
+        "line_no",
+        F.array_join(
+            F.slice(F.col("w"), F.col("line_no") * _LINE_TOKENS + 1, _LINE_TOKENS), " "
+        ).alias("line"),
+    )
+    # Global keep-first: ONE hash shuffle on the line hash; no pairs.
+    w_first = Window.partitionBy("lh").orderBy("doc_id", "line_no")
+    kept = (
+        lines.withColumn("lh", F.md5(F.col("line").cast("binary")))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+    )
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept_lines"),
+        F.sum(F.size(F.split(F.col("line"), " "))).cast("bigint").alias("n_kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("text_hash"),
+    )
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.ceil(F.size(toks) / F.lit(_LINE_TOKENS)).cast("bigint").alias("n_lines"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_tokens",
+        F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("bigint").alias("n_kept_lines"),
+        F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+        F.coalesce(F.col("text_hash"), F.md5(F.lit("").cast("binary"))).alias("text_hash"),
+    )
+
+
+_LINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(CEIL(len(w) / {_LINE_TOKENS}.0) AS BIGINT))) AS line_no,
+         w
+  FROM toks
+), hashed AS (
+  SELECT doc_id, line_no,
+         array_to_string(list_slice(w, line_no * {_LINE_TOKENS} + 1,
+                                    line_no * {_LINE_TOKENS} + {_LINE_TOKENS}), ' ') AS line
+  FROM lines
+), ranked AS (
+  SELECT doc_id, line_no, line,
+         ROW_NUMBER() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+  FROM hashed
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+         CAST(SUM(len(string_split(line, ' '))) AS BIGINT) AS n_kept_tokens,
+         md5(string_agg(line, ' ' ORDER BY line_no)) AS text_hash
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
+       CAST(COALESCE(p.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+       COALESCE(p.text_hash, md5('')) AS text_hash
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --- binary-signature (sign bit) Hamming ANN --------------------------------
+
+_ANN_QUERIES = 10  # vec_id < 10 are the query vectors
+_ANN_K = 5
+_DIMS = 64
+_WORD = 32  # bits per signature word; two words cover 64 dims and no
+# expression ever shifts into the BIGINT sign bit (DuckDB raises on 1<<63)
+
+
+def _sig_sql(lo_dim: int, spark_dialect: bool) -> str:
+    """Pack sign bits of dims [lo_dim, lo_dim+31] (1-based) into a BIGINT
+    word. Same CASE/CAST shape in both engines; only the 1-based array
+    accessor differs (Spark `[i]` is 0-based, so it uses element_at)."""
+    acc = "element_at(embedding, {i})" if spark_dialect else "embedding[{i}]"
+    terms = " + ".join(
+        f"CASE WHEN {acc.format(i=lo_dim + b)} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_WORD)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def q_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id",
+        F.expr(_sig_sql(1, True)).alias("sig_lo"),
+        F.expr(_sig_sql(1 + _WORD, True)).alias("sig_hi"),
+    )
+    q = sigs.filter(F.col("vec_id") < _ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    c = sigs.filter(F.col("vec_id") >= _ANN_QUERIES)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+        ).cast("bigint").alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "hamming")
+    )
+
+
+_ANN_SQL = f"""
+WITH sigs AS (
+  SELECT vec_id, {_sig_sql(1, False)} AS sig_lo, {_sig_sql(1 + _WORD, False)} AS sig_hi
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+  FROM sigs WHERE vec_id < {_ANN_QUERIES}
+), scored AS (
+  SELECT q.query_id, c.vec_id,
+         CAST(bit_count(xor(c.sig_lo, q.q_lo))
+            + bit_count(xor(c.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM sigs c CROSS JOIN q
+  WHERE c.vec_id >= {_ANN_QUERIES}
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, hamming
+FROM (
+  SELECT query_id, vec_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_ANN_K}
+"""
+
+
+# --- PMI collocations --------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = d.select("doc_id", F.explode(F.array(toks)).alias("wa"))
+    pairs = F.when(
+        F.size("wa") >= 2,
+        F.arrays_zip(
+            F.slice(F.col("wa"), F.lit(1), F.size("wa") - 1),
+            F.slice(F.col("wa"), F.lit(2), F.size("wa") - 1),
+        ),
+    )
+    bigrams = docs.select(F.explode(pairs).alias("pr")).select(
+        F.col("pr")["0"].alias("w1"), F.col("pr")["1"].alias("w2")
+    )
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= _PMI_MIN_COUNT)
+    )
+    uni = d.select(F.explode(toks).alias("token")).groupBy("token").agg(
+        F.count("*").alias("c1")
+    )
+    totals = uni.agg(F.sum("c1").alias("n_tok")).crossJoin(
+        bigrams.agg(F.count("*").alias("n_bg"))
+    )
+    scored = (
+        c12.join(F.broadcast(uni.select(F.col("token").alias("w1"), F.col("c1").alias("cw1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("token").alias("w2"), F.col("c1").alias("cw2"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") / F.col("n_bg").cast("double"))
+                    / (
+                        (F.col("cw1").cast("double") / F.col("n_tok").cast("double"))
+                        * (F.col("cw2").cast("double") / F.col("n_tok").cast("double"))
+                    )
+                )
+                * F.lit(1000000.0)
+            ).cast("bigint").alias("pmi_ppm"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PMI_TOP)
+        .select(F.col("rank").cast("int").alias("rank"), "w1", "w2", "c12", "pmi_ppm")
+    )
+
+
+_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), bigrams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks)
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+  HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), uni AS (
+  SELECT unnest(w) AS token FROM toks
+), uc AS (
+  SELECT token, COUNT(*) AS c1 FROM uni GROUP BY token
+), totals AS (
+  SELECT (SELECT SUM(c1) FROM uc) AS n_tok,
+         (SELECT COUNT(*) FROM bigrams) AS n_bg
+), scored AS (
+  SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+         CAST(ROUND(ln(
+             (CAST(c12.c12 AS DOUBLE) / CAST(t.n_bg AS DOUBLE))
+             / ((CAST(u1.c1 AS DOUBLE) / CAST(t.n_tok AS DOUBLE))
+                * (CAST(u2.c1 AS DOUBLE) / CAST(t.n_tok AS DOUBLE)))
+         ) * 1000000.0) AS BIGINT) AS pmi_ppm
+  FROM c12
+  JOIN uc u1 ON c12.w1 = u1.token
+  JOIN uc u2 ON c12.w2 = u2.token
+  CROSS JOIN totals t
+)
+SELECT CAST(rank AS INTEGER) AS rank, w1, w2, c12, pmi_ppm
+FROM (
+  SELECT w1, w2, c12, pmi_ppm,
+         ROW_NUMBER() OVER (ORDER BY pmi_ppm DESC, w1 ASC, w2 ASC) AS rank
+  FROM scored
+) WHERE rank <= {_PMI_TOP}
+"""
+
+
+register(
+    QuerySpec(
+        "line_dedup",
+        q_line_dedup,
+        _LINE_SQL,
+        survey="TD-dedup",
+        description="C4-style line-level dedup: global keep-first per line hash, per-doc survival stats",
+    )
+)
+register(
+    QuerySpec(
+        "hamming_ann",
+        q_hamming_ann,
+        _ANN_SQL,
+        survey="TD-ann",
+        description="Binary-signature ANN: 64 sign bits in two words, XOR+popcount Hamming top-5",
+    )
+)
+register(
+    QuerySpec(
+        "pmi_bigrams",
+        q_pmi_bigrams,
+        _PMI_SQL,
+        survey="TXT-pmi",
+        description="PMI collocations: top-20 bigrams by pointwise mutual information, count >= 5",
+    )
+)

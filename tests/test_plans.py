@@ -168,12 +168,16 @@ def test_simhash_banded_join_no_cartesian(spark):
 
 
 def test_bloom_bitmap_join_broadcast(spark):
-    """BLOOM contract: the bitmap probe must be a broadcast join (the
-    bitmap is <= m/32 rows by construction) and nothing may plan as a
+    """BLOOM contract: the bitmap ships as a literal array (collected once,
+    ≤ m/32 words — round-3 upgrade from the relational broadcast join), so
+    the probe side must contain NO join at all; the exact-truth semi join
+    and the final doc flags stay broadcast, and nothing may plan as a
     cartesian product."""
     df = REG["bloom_decontamination"].build(spark, SF_DIR_ORACLE)
-    assert pi.count_broadcast_joins(df) >= 2
-    assert "CartesianProduct" not in pi.executed_plan(df)
+    plan = pi.executed_plan(df)
+    assert pi.count_broadcast_joins(df) >= 2  # exact semi + final flag joins
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # nothing big enough to shuffle-join
 
 
 def test_pagerank_dims_broadcast(spark):

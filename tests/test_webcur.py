@@ -1,0 +1,118 @@
+"""Semantic invariants for the round-3b web-curation operators
+(queries/webcur.py). Exact cross-engine parity is covered by the
+parametrized sweep in test_oracle_parity.py; these pin the *meaning* of
+each result plus the plan-shape contracts (no cartesian blowups, probe
+sides stay narrow)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lakehouse_spain_mobility_spark.queries import load_all
+from lakehouse_spain_mobility_spark.plans import inspect as pi
+
+from conftest import SF_DIR_ORACLE
+
+REG = load_all()
+
+
+def test_line_dedup_keep_first_accounting(spark):
+    rows = {r["doc_id"]: r.asDict() for r in
+            REG["line_dedup"].build(spark, SF_DIR_ORACLE).collect()}
+    assert len(rows) == 500  # one row per document
+    removed_total = 0
+    for r in rows.values():
+        assert 0 <= r["n_kept_lines"] <= r["n_lines"]
+        assert 0 <= r["n_kept_tokens"] <= r["n_tokens"]
+        # a kept line carries at most _LINE_TOKENS tokens
+        assert r["n_kept_tokens"] <= 15 * r["n_kept_lines"]
+        removed_total += r["n_lines"] - r["n_kept_lines"]
+    # the corpus carries injected duplicates: some line must be removed,
+    # and the globally-first doc (doc_id 0) must keep all of its lines
+    assert removed_total > 0
+    assert rows[0]["n_kept_lines"] == rows[0]["n_lines"]
+    # conservation: kept lines across the corpus == distinct line strings
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    distinct_lines = (
+        d.select(F.explode(F.array(toks)).alias("w"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(0), F.ceil(F.size("w") / F.lit(15)).cast("int") - 1)
+            ).alias("i"),
+            "w",
+        )
+        .select(F.array_join(F.slice("w", F.col("i") * 15 + 1, 15), " ").alias("line"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_kept_lines"] for r in rows.values()) == distinct_lines
+
+
+def test_hamming_ann_is_true_topk_of_signature_space(spark):
+    df = REG["hamming_ann"].build(spark, SF_DIR_ORACLE)
+    rows = df.collect()
+    assert len(rows) == 10 * 5  # 10 queries x top-5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        hs = [r["hamming"] for r in rs]
+        assert hs == sorted(hs)  # ranked by distance
+        assert all(0 <= h <= 64 for h in hs)
+        assert all(r["vec_id"] >= 10 for r in rs)  # corpus side only
+    # the plan must broadcast the 10-query side, never shuffle the corpus
+    plan = pi.executed_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hamming_approximates_cosine_neighbourhood(spark):
+    """Sign-bit Hamming distance is a monotone proxy for angular distance:
+    the expected Hamming for angle theta is 64*theta/pi (Charikar 2002).
+    Check the top-1 neighbour's true cosine beats the corpus median."""
+    e = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    rows = REG["hamming_ann"].build(spark, SF_DIR_ORACLE).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in rows if r["rank"] == 1}
+    vecs = {r["vec_id"]: r["embedding"] for r in e.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    import statistics
+
+    corpus_ids = [v for v in vecs if v >= 10]
+    better = 0
+    for q, n1 in top1.items():
+        c_top = cos(vecs[q], vecs[n1])
+        med = statistics.median(cos(vecs[q], vecs[c]) for c in corpus_ids)
+        if c_top > med:
+            better += 1
+    assert better >= 8  # at least 8 of 10 queries beat the median
+
+
+def test_pmi_bigrams_ranked_and_consistent(spark):
+    rows = REG["pmi_bigrams"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 20
+    pmis = [r["pmi_ppm"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["c12"] >= 5 for r in rows)
+    # hand-verify PMI for the top bigram from raw counts
+    top = min(rows, key=lambda r: r["rank"])
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    toks = d.select(F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+    n_tok = toks.count()
+    c1 = toks.filter(F.col("t") == top["w1"]).count()
+    c2 = toks.filter(F.col("t") == top["w2"]).count()
+    docs = d.select(F.filter(F.split("text", " "), lambda x: x != "").alias("w"))
+    n_bg = docs.select(F.explode(F.when(F.size("w") >= 2, F.sequence(F.lit(1), F.size("w") - 1))).alias("i")).count()
+    expect = round(
+        math.log((top["c12"] / n_bg) / ((c1 / n_tok) * (c2 / n_tok))) * 1e6
+    )
+    assert abs(expect - top["pmi_ppm"]) <= 1  # ppm rounding slack
