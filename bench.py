@@ -28,7 +28,7 @@ BENCH2 = [
     "vocab_growth", "quality_logreg", "nested_types_battery",
     "window_frames_battery",
     # round-3b web-curation operators (queries/webcur.py)
-    "line_dedup", "hamming_ann", "pmi_bigrams",
+    "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
 ]
 
 

@@ -206,7 +206,7 @@ SUITES: dict[str, list[str]] = {
         "vocab_growth", "quality_logreg", "nested_types_battery",
         "window_frames_battery",
         # round-3b web-curation additions (queries/webcur.py)
-        "line_dedup", "hamming_ann", "pmi_bigrams",
+        "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -238,7 +238,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi,TD-cdc",
     "analytic_window_suite": "W,S5,U",
 }
 

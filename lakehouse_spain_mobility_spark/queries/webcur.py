@@ -22,6 +22,13 @@ shapes — the repo's standard parity conventions):
 - ``pmi_bigrams`` — pointwise mutual information collocations: the
   top-20 token bigrams by PMI among those occurring >= 5 times, the
   classic corpus-statistics operator for tokenizer/stop-phrase audits.
+- ``snapshot_diff`` — incremental-crawl delta: two corpus snapshots
+  (derived deterministically from the documents table: the "old" crawl
+  is missing 10% of pages, the "new" crawl dropped a different 10% and
+  revised every doc_id ≡ 3 (mod 7)) full-outer-join on the document key
+  comparing content hashes, yielding added/removed/changed/unchanged
+  counts per language — the change-data-capture step an ingestion
+  pipeline runs before re-processing only what moved.
 
 Scale notes (100 TB):
 
@@ -42,6 +49,11 @@ Scale notes (100 TB):
   bigram->unigram count lookups broadcast (Zipf-bounded model tables,
   same argument as queries/lm.py), and the >= 5 count floor prunes the
   long tail before any join.
+- ``snapshot_diff`` joins on the document key after reducing each side
+  to (key, content-hash) — the full texts never shuffle; at warehouse
+  scale both snapshots are bucketed on the key so the full-outer join is
+  co-located (zero exchange, the mechanism `test_scale_patterns.py`
+  proves locally).
 
 Reference anchor: the reference (a mobility lakehouse) has no corpus
 curation surface; these extend the training-data north star alongside
@@ -324,6 +336,79 @@ FROM (
 """
 
 
+# --- incremental-crawl snapshot diff ----------------------------------------
+
+_DROP_OLD = 9  # doc_id ≡ 9 (mod 10): not yet crawled in the old snapshot
+_DROP_NEW = 8  # doc_id ≡ 8 (mod 10): gone from the new snapshot
+_REV_MOD = 7  # doc_id ≡ 3 (mod 7): revised content in the new snapshot
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # Each snapshot reduces to (key, lang, content hash) BEFORE the join —
+    # the text column never crosses an exchange.
+    old = d.filter(F.col("doc_id") % 10 != _DROP_OLD).select(
+        "doc_id",
+        F.col("lang").alias("lang_old"),
+        F.md5(F.col("text").cast("binary")).alias("h_old"),
+    )
+    new = d.filter(F.col("doc_id") % 10 != _DROP_NEW).select(
+        "doc_id",
+        F.col("lang").alias("lang_new"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % _REV_MOD == 3, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary")
+        ).alias("h_new"),
+    )
+    joined = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("lang_new"), F.col("lang_old")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+_DIFF_SQL = f"""
+WITH old AS (
+  SELECT doc_id, lang AS lang_old, md5(text) AS h_old
+  FROM documents WHERE doc_id % 10 <> {_DROP_OLD}
+), new AS (
+  SELECT doc_id, lang AS lang_new,
+         md5(CASE WHEN doc_id % {_REV_MOD} = 3 THEN text || ' v2' ELSE text END) AS h_new
+  FROM documents WHERE doc_id % 10 <> {_DROP_NEW}
+)
+SELECT COALESCE(n.lang_new, o.lang_old) AS lang,
+       CASE WHEN o.h_old IS NULL THEN 'added'
+            WHEN n.h_new IS NULL THEN 'removed'
+            WHEN o.h_old <> n.h_new THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM old o FULL OUTER JOIN new n USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
+register(
+    QuerySpec(
+        "snapshot_diff",
+        q_snapshot_diff,
+        _DIFF_SQL,
+        survey="TD-cdc",
+        description="Incremental-crawl CDC: snapshot full-outer diff on content hashes, counts per (lang, status)",
+    )
+)
 register(
     QuerySpec(
         "line_dedup",

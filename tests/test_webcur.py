@@ -97,6 +97,27 @@ def test_hamming_approximates_cosine_neighbourhood(spark):
     assert better >= 8  # at least 8 of 10 queries beat the median
 
 
+def test_snapshot_diff_partitions_the_union_of_keys(spark):
+    rows = REG["snapshot_diff"].build(spark, SF_DIR_ORACLE).collect()
+    by_status = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_docs"]
+    # every key in either snapshot is classified exactly once: the four
+    # statuses partition the union (500 docs, none dropped from both sides
+    # since 8 and 9 differ mod 10)
+    assert sum(by_status.values()) == 500
+    # mod-arithmetic ground truth on doc_ids 0..499
+    added = sum(1 for i in range(500) if i % 10 == 9)
+    removed = sum(1 for i in range(500) if i % 10 == 8)
+    changed = sum(
+        1 for i in range(500) if i % 10 not in (8, 9) and i % 7 == 3
+    )
+    assert by_status["added"] == added
+    assert by_status["removed"] == removed
+    assert by_status["changed"] == changed
+    assert by_status["unchanged"] == 500 - added - removed - changed
+
+
 def test_pmi_bigrams_ranked_and_consistent(spark):
     rows = REG["pmi_bigrams"].build(spark, SF_DIR_ORACLE).collect()
     assert len(rows) == 20
