@@ -450,7 +450,18 @@ def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_fut = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # The SQL-shaped form of lv is LAST_VALUE over [CURRENT ROW, UNBOUNDED
+    # FOLLOWING] (the oracle keeps it), but Spark's
+    # UnboundedFollowingWindowFunctionFrame re-evaluates the whole
+    # remaining frame per row — O(n²) per partition (measured: fine at
+    # sf0.1's 25k-row partitions, ~10 min at sf1's 250k). The scale-safe
+    # Spark idiom is FIRST over the REVERSED cumulative frame, which runs
+    # in the incremental UnboundedPreceding path — identical values.
+    w_rev_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.desc("value"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     w_mov = w.rowsBetween(-2, 2)
     w_rng = (
         Window.partitionBy("event_type")
@@ -464,7 +475,7 @@ def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.first("event_id").over(w_cum).alias("fv"),
-        F.last("event_id").over(w_fut).alias("lv"),
+        F.first("event_id").over(w_rev_cum).alias("lv"),
         F.nth_value("event_id", 3).over(w_cum).alias("nth3"),
         F.count("*").over(w_mov).cast("bigint").alias("mov_cnt"),
         mov_sum.cast("long").alias("mov_sum_ppm"),

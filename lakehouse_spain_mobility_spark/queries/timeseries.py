@@ -60,10 +60,15 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # Suffix-min via the REVERSED cumulative frame: Spark's
+    # UnboundedFollowing frame re-evaluates per row (O(n²) per partition);
+    # ordering DESC and taking the running min over [unboundedPreceding,
+    # currentRow] computes the same nearest-following bucket in the
+    # incremental O(n) path (cf. queries/battery.py lv rewrite).
     w_fwd = (
         Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     observed_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
     marked = g2.select(

@@ -189,11 +189,21 @@ def _sig_sql(lo_dim: int, spark_dialect: bool) -> str:
 
 def q_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
+    # explode(array(struct(...))) is the projection barrier (SCALE.md §8c):
+    # without it CollapseProject inlines the 64-term sign-bit expressions
+    # into every post-join reference, re-packing both signature words once
+    # per (corpus row × query) instead of once per row.
     sigs = e.select(
         "vec_id",
-        F.expr(_sig_sql(1, True)).alias("sig_lo"),
-        F.expr(_sig_sql(1 + _WORD, True)).alias("sig_hi"),
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.expr(_sig_sql(1, True)).alias("sig_lo"),
+                    F.expr(_sig_sql(1 + _WORD, True)).alias("sig_hi"),
+                )
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.*")
     q = sigs.filter(F.col("vec_id") < _ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("sig_lo").alias("q_lo"),
