@@ -29,6 +29,8 @@ BENCH2 = [
     "window_frames_battery",
     # round-3b web-curation operators (queries/webcur.py)
     "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
+    # round-3c selection operators (queries/selection.py)
+    "cluster_representatives", "shard_manifest",
 ]
 
 

@@ -79,7 +79,9 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "binary"
             )
         ).alias("gh"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers (dup agg + mark-back semi
+    # join) would otherwise each re-run the explode+md5 pass (the
+    # minhash_recall shared-subplan pattern, PERF.md round 3)
     # One hash aggregation marks cross-document grams; no pair enumeration.
     dup = (
         grams.groupBy("gh")

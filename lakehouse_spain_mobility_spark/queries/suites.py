@@ -59,6 +59,7 @@ from . import funnel  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import nested  # noqa: F401,E402
 from . import webcur  # noqa: F401,E402
+from . import selection  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -207,6 +208,8 @@ SUITES: dict[str, list[str]] = {
         "window_frames_battery",
         # round-3b web-curation additions (queries/webcur.py)
         "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
+        # round-3c selection additions (queries/selection.py)
+        "cluster_representatives", "shard_manifest",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -238,7 +241,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi,TD-cdc",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi,TD-cdc,TD-reps,TD-shard",
     "analytic_window_suite": "W,S5,U",
 }
 

@@ -137,3 +137,30 @@ def test_pmi_bigrams_ranked_and_consistent(spark):
         math.log((top["c12"] / n_bg) / ((c1 / n_tok) * (c2 / n_tok))) * 1e6
     )
     assert abs(expect - top["pmi_ppm"]) <= 1  # ppm rounding slack
+
+
+def test_cluster_representatives_pick_best_member(spark):
+    reps = {r["component"]: r.asDict() for r in
+            REG["cluster_representatives"].build(spark, SF_DIR_ORACLE).collect()}
+    assert len(reps) > 0  # injected near-dups form clusters
+    clusters = {r["component"]: r.asDict() for r in
+                REG["dedup_clusters"].build(spark, SF_DIR_ORACLE).collect()}
+    # same multi-doc components, same sizes as the keep-first view
+    assert set(reps) == set(clusters)
+    scores = {r["doc_id"]: r["score_ppm"] for r in
+              REG["quality_logreg"].build(spark, SF_DIR_ORACLE).collect()}
+    for comp, r in reps.items():
+        assert r["n_docs"] == clusters[comp]["n_docs"]
+        assert r["n_removed"] == r["n_docs"] - 1
+        # the elected representative carries its own (maximal) score
+        assert scores[r["rep_doc"]] == r["rep_score_ppm"]
+
+
+def test_shard_manifest_partitions_the_corpus(spark):
+    rows = REG["shard_manifest"].build(spark, SF_DIR_ORACLE).collect()
+    assert {r["shard"] for r in rows} <= set(range(16))
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["id_checksum"] for r in rows) == sum(range(500))  # every doc once
+    # md5 sharding balances: no shard holds more than 3x the mean
+    mean = 500 / len(rows)
+    assert all(r["n_docs"] < 3 * mean for r in rows)
