@@ -163,3 +163,31 @@ def test_pq_adc_ranking_is_informative(spark):
         .first()[0]
     ) * 1e6
     assert picked_mean_exact < 0.9 * corpus_mean, (picked_mean_exact, corpus_mean)
+
+
+def test_new_curation_ops_invariant_to_input_partitioning(spark):
+    """Repartition-stability for the round-3 selection/webcur operators:
+    hash sharding, line keep-first, CDC statuses and cluster election are
+    all keyed on content/ids, never on physical layout, so re-reading the
+    same table under an adversarial partitioning must reproduce the exact
+    rows. (The deterministic-agg battery proves this for sums; these ops
+    rely on md5 keys and rank tie-breaks instead.)"""
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries import tables as T
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+
+    def rows(name):
+        return sorted(map(tuple, reg[name].build(spark, sf).collect()))
+
+    baseline = {n: rows(n) for n in ("shard_manifest", "line_dedup", "snapshot_diff")}
+
+    orig_load = T.load
+    try:
+        # Adversarial layout: 7-way round-robin repartition of every table.
+        T.load = lambda spark_, sf_, name: orig_load(spark_, sf_, name).repartition(7)
+        for n, want in baseline.items():
+            assert rows(n) == want, f"{n} changed under repartition"
+    finally:
+        T.load = orig_load
