@@ -164,3 +164,15 @@ def test_shard_manifest_partitions_the_corpus(spark):
     # md5 sharding balances: no shard holds more than 3x the mean
     mean = 500 / len(rows)
     assert all(r["n_docs"] < 3 * mean for r in rows)
+
+
+def test_line_dedup_plan_single_hash_shuffle_and_pruned_scan(spark):
+    """PLANS.md contract: the keep-first rank is ONE exchange on the line
+    hash (never a self-join or pair enumeration), reassembly is one
+    doc-key aggregation, and the scan reads only (doc_id, text)."""
+    df = REG["line_dedup"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+    # column pruning reaches the parquet scan on the lines branch
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
