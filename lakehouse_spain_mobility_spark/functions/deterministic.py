@@ -117,6 +117,32 @@ def _scaled_sum(col: Column) -> Column:
     return _overflow_guard(total, F.count(m), F.max(F.abs(m)))
 
 
+_B53F = float(1 << 53)
+
+
+def dsum_rollup_guard(col: Column) -> Column:
+    """Exactness guard for re-aggregating a :func:`dsum` output.
+
+    A dsum result is a DOUBLE; feeding it back through another fixed-point
+    round-trip (``ROUND(x·1e6)`` in :func:`dsum_over`/:func:`micro`) is
+    exact only while the group's micro sum is double-representable —
+    |x|·1e6 < 2⁵³ (~9e9 currency units per group). The long-path
+    ``_overflow_guard`` only trips near 2⁶²; past 2⁵³ the round-trip
+    would silently lose low bits. Wrap the re-aggregated column so the
+    query degrades loudly instead (the module invariant)."""
+    ok = col.isNull() | (F.abs(col) * _lit("scale", _SCALE) < _lit("b53f", _B53F))
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            _lit(
+                "rollupmsg",
+                "dsum rollup overflow: |group sum|*1e6 >= 2^53 is not "
+                "double-exact; keep the DECIMAL(38,0) total instead of "
+                "re-rounding through DOUBLE",
+            )
+        )
+    )
+
+
 def dsum_over(col: Column, w) -> Column:
     """Window twin of :func:`dsum`: order-independent SUM(double) OVER w.
 

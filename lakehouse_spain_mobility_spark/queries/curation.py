@@ -83,10 +83,14 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) would otherwise each re-run the explode+md5 pass (the
     # minhash_recall shared-subplan pattern, PERF.md round 3)
     # One hash aggregation marks cross-document grams; no pair enumeration.
+    # "occurs in >= 2 distinct documents" ≡ min(doc_id) != max(doc_id) —
+    # COUNT(DISTINCT doc_id) would expand to a two-level aggregate and
+    # shuffle the gram relation TWICE ((gh,doc_id) then gh); min/max are
+    # plain partial aggregates, so the grams shuffle once (VERDICT r3 #3).
     dup = (
         grams.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("gh")
     )
     marked = grams.join(dup, "gh", "left_semi").select(

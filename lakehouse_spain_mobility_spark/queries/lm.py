@@ -26,10 +26,11 @@ frequency floor, exactly like the shingle df-cap in the dedup family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import dsum, micro, sql_dsum, sql_micro
+from ..functions.topk import global_topk
 from . import QuerySpec, register
 from .tables import load
 
@@ -88,12 +89,10 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         micro(-dsum(F.col("lnp")) / F.count("*")).alias("nll_ppm"),
     )
-    wr = Window.orderBy(F.desc("nll_ppm"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("rank", "doc_id", "n_bigrams", "nll_ppm")
-    )
+    # TakeOrderedAndProject, not a global-window sort of the scored corpus.
+    return global_topk(
+        scored, _TOP_K, [F.desc("nll_ppm"), F.asc("doc_id")]
+    ).select("rank", "doc_id", "n_bigrams", "nll_ppm")
 
 
 _PPL_SQL = f"""
@@ -205,12 +204,10 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_tokens"),
         micro(dsum(F.col("lr")) / F.count("*")).alias("logw_ppm"),
     )
-    wr = Window.orderBy(F.desc("logw_ppm"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("rank", "doc_id", "n_tokens", "logw_ppm")
-    )
+    # TakeOrderedAndProject, not a global-window sort of the scored corpus.
+    return global_topk(
+        scored, _TOP_K, [F.desc("logw_ppm"), F.asc("doc_id")]
+    ).select("rank", "doc_id", "n_tokens", "logw_ppm")
 
 
 _DSIR_SQL = f"""

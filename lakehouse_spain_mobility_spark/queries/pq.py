@@ -26,10 +26,11 @@ reproduces ADC + exact distances with identical fold orders.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import micro, sql_davg, sql_micro
+from ..functions.topk import global_topk
 from . import QuerySpec, register
 from .tables import load
 
@@ -88,15 +89,13 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id"), F.col("sqdist").alias("exact")
     )
     joined = approx.join(exact, "vec_id").filter(F.col("vec_id") != _QUERY_ID)
-    w = Window.orderBy(F.asc("adc_ppm"), F.asc("vec_id"))
-    return (
-        joined.select(
-            "vec_id", micro(F.col("adc")).alias("adc_ppm"), micro(F.col("exact")).alias("exact_ppm")
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("rank", "vec_id", "adc_ppm", "exact_ppm")
+    scored = joined.select(
+        "vec_id", micro(F.col("adc")).alias("adc_ppm"), micro(F.col("exact")).alias("exact_ppm")
     )
+    # TakeOrderedAndProject, not a global-window sort of the scored corpus.
+    return global_topk(
+        scored, _TOP_K, [F.asc("adc_ppm"), F.asc("vec_id")]
+    ).select("rank", "vec_id", "adc_ppm", "exact_ppm")
 
 
 def _fold_sql(e: str, c: str, lo: int, n: int, c_off: bool = True) -> str:

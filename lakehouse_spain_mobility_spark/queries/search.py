@@ -23,10 +23,11 @@ Nothing is quadratic; df/avgdl/N are scalars or |terms|-row tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_micro
+from ..functions.topk import global_topk
 from . import QuerySpec, register
 from .tables import load
 
@@ -83,12 +84,10 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro(dsum(F.col("contrib"))).alias("score_ppm"),
         F.count("*").alias("n_terms_matched"),
     )
-    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
-    return (
-        doc_scores.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("rank", "doc_id", "score_ppm", "n_terms_matched")
-    )
+    # TakeOrderedAndProject, not a global-window sort of the scored corpus.
+    return global_topk(
+        doc_scores, _TOP_K, [F.desc("score_ppm"), F.asc("doc_id")]
+    ).select("rank", "doc_id", "score_ppm", "n_terms_matched")
 
 
 def _sql() -> str:

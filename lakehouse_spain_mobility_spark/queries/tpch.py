@@ -763,12 +763,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = cat.withColumn("min_cost", F.min("ps_unitcost").over(w)).filter(
         F.col("ps_unitcost") == F.col("min_cost")
     )
-    wr = Window.orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+    # Bounded by |parts|, but still honor SCALE.md:16 — heap top-k, not a
+    # single-partition window sort (the rank window sees only 20 rows).
+    from ..functions.topk import global_topk
+
     return (
-        best.withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 20)
+        global_topk(
+            best, 20, [F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey")]
+        )
         .select(
-            F.col("rn").alias("rank"),
+            F.col("rank"),
             "s_name",
             "n_name",
             F.col("p_partkey"),
@@ -823,18 +827,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The global scalar is an exact re-aggregate of the per-part sums (the
     # fixed-point micros are integers, so Σ of group sums ≡ the row-level
     # Σ the oracle computes — exact while each part's micro-sum stays in
-    # the double-exact range < 2^53, i.e. part values < ~9e9 units) taken
+    # the double-exact range < 2^53, i.e. part values < ~9e9 units;
+    # dsum_rollup_guard raises loudly past that bound) taken
     # as a global window over the part-level frame — ONE execution of the
     # ps/nat_ps subtree instead of the two a separate .agg() branch would
     # trigger. The windowed partition holds only part-level rows
     # (dimension-sized), never lineitems.
     from pyspark.sql import Window
 
-    from ..functions.deterministic import dsum_over
+    from ..functions.deterministic import dsum_over, dsum_rollup_guard
 
     w_all = Window.partitionBy()
     return (
-        per_part.withColumn("total_value", dsum_over(F.col("part_value"), w_all))
+        per_part.withColumn(
+            "total_value", dsum_over(dsum_rollup_guard(F.col("part_value")), w_all)
+        )
         .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
         .select(
             "ps_partkey",

@@ -65,6 +65,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.topk import global_topk
 from . import QuerySpec, register
 from .tables import load
 
@@ -85,7 +86,12 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("w").cast("bigint").alias("n_tokens"),
         n_lines.cast("bigint").alias("n_lines"),
-        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("line_no"),
+        # Guarded: sequence(0, -1) yields a DESCENDING [0, -1] in Spark —
+        # two phantom empty lines for an empty doc — while the oracle's
+        # range(0, 0) is empty. NULL ⇒ explode drops the row on both.
+        F.explode(
+            F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1))
+        ).alias("line_no"),
         "w",
     ).select(
         "doc_id",
@@ -300,12 +306,10 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pmi_ppm"),
         )
     )
-    w = Window.orderBy(F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _PMI_TOP)
-        .select(F.col("rank").cast("int").alias("rank"), "w1", "w2", "c12", "pmi_ppm")
-    )
+    # TakeOrderedAndProject, not a global-window sort of the scored corpus.
+    return global_topk(
+        scored, _PMI_TOP, [F.desc("pmi_ppm"), F.asc("w1"), F.asc("w2")]
+    ).select(F.col("rank").cast("int").alias("rank"), "w1", "w2", "c12", "pmi_ppm")
 
 
 _PMI_SQL = f"""

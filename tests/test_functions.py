@@ -185,3 +185,24 @@ def test_gravity_distances_spheroid_option(spark):
     assert set(hav) == set(geo) and len(geo) == 6
     for k in hav:
         assert abs(geo[k] - hav[k]) / hav[k] < 0.005
+
+
+def test_dsum_rollup_guard_raises_past_double_exact_bound(spark):
+    """ADVICE r3 (tpch.py Q11): re-rounding a dsum DOUBLE through
+    ROUND(x*1e6) is exact only below 2^53 micro-units (~9.007e9). The
+    guard must pass values inside the envelope untouched and raise loudly
+    past it — never silently lose low bits."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.functions.deterministic import (
+        dsum_rollup_guard,
+    )
+
+    ok = spark.range(1).select(
+        dsum_rollup_guard(F.lit(1.0e9)).alias("v"),
+        dsum_rollup_guard(F.lit(None).cast("double")).alias("n"),
+    ).collect()
+    assert ok[0]["v"] == 1.0e9 and ok[0]["n"] is None
+    with pytest.raises(Exception, match="rollup overflow"):
+        spark.range(1).select(dsum_rollup_guard(F.lit(1.0e10)).alias("v")).collect()

@@ -249,12 +249,45 @@ def test_substring_span_dedup_no_pair_enumeration(spark):
     cartesian/nested-loop product, and the documents scan must prune to
     (doc_id, text)."""
     df = REG["substring_span_dedup"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
     assert pi.count_nested_loop_joins(df) == 0
-    assert "CartesianProduct" not in pi.executed_plan(df)
+    assert "CartesianProduct" not in plan
     schemas = pi.read_schemas(df)
     assert schemas and all(
         "lang" not in s and "source" not in s for s in schemas
     ), schemas
+    # r4: cross-doc marking is min/max(doc_id) — COUNT(DISTINCT) would
+    # shuffle the gram relation twice ((gh,doc_id) then gh)
+    assert "count(distinct" not in plan.lower(), plan[:2000]
+    # and the two island windows share ONE sort (same partition+order)
+    final = pi.final_plan(df)
+    head = final.split("== Initial Plan ==")[0]
+    import re as _re
+    assert len(_re.findall(r"\bSort \[", head)) <= 1, head[:2000]
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["pq_adc_search", "bm25_search", "perplexity_filter", "dsir_weights",
+     "pmi_bigrams", "tpch_q2"],
+)
+def test_global_topk_is_heap_not_world_sort(spark, name):
+    """SCALE.md:16 contract (VERDICT r3 #1): global top-k must plan as
+    TakeOrderedAndProject (per-partition k-heaps merged on the driver) —
+    never a row_number window over an empty partitionBy, which shuffles
+    the whole scored relation to ONE task. The rank window that re-attaches
+    positions exists but sees only the <=k survivors, i.e. it sits ABOVE
+    the TakeOrderedAndProject in the executed plan."""
+    df = REG[name].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the rank window's input must be the limited set: the plan string for
+    # the Window's child subtree must contain the TakeOrderedAndProject
+    widx = plan.index("Window")
+    assert "TakeOrderedAndProject" in plan[widx:], plan[:2000]
 
 
 def test_temperature_mix_rate_table_broadcast(spark):

@@ -173,6 +173,7 @@ def test_new_curation_ops_invariant_to_input_partitioning(spark):
     rows. (The deterministic-agg battery proves this for sums; these ops
     rely on md5 keys and rank tie-breaks instead.)"""
     from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries import selection, webcur
     from lakehouse_spain_mobility_spark.queries import tables as T
 
     reg = load_all()
@@ -184,10 +185,22 @@ def test_new_curation_ops_invariant_to_input_partitioning(spark):
     baseline = {n: rows(n) for n in ("shard_manifest", "line_dedup", "snapshot_diff")}
 
     orig_load = T.load
-    try:
+
+    def adversarial(spark_, sf_, name):
         # Adversarial layout: 7-way round-robin repartition of every table.
-        T.load = lambda spark_, sf_, name: orig_load(spark_, sf_, name).repartition(7)
+        return orig_load(spark_, sf_, name).repartition(7)
+
+    # The query modules bound `load` at import time (`from .tables import
+    # load`), so patching tables.load alone never reaches them — patch the
+    # per-module bindings the builders actually call, and prove the patch
+    # bites by checking the physical partitioning actually changed.
+    patched = [(T, "load"), (webcur, "load"), (selection, "load")]
+    try:
+        for mod, attr in patched:
+            setattr(mod, attr, adversarial)
+        assert webcur.load(spark, sf, "documents").rdd.getNumPartitions() == 7
         for n, want in baseline.items():
             assert rows(n) == want, f"{n} changed under repartition"
     finally:
-        T.load = orig_load
+        for mod, attr in patched:
+            setattr(mod, attr, orig_load)

@@ -176,3 +176,30 @@ def test_line_dedup_plan_single_hash_shuffle_and_pruned_scan(spark):
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
     # column pruning reaches the parquet scan on the lines branch
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_line_dedup_empty_documents_produce_zero_lines(spark, tmp_path):
+    """ADVICE r3: sequence(0, -1) is a DESCENDING [0, -1] in Spark — an
+    unguarded explode turns an empty document into two phantom empty
+    'lines' that also poison the global keep-first (every real doc's
+    trailing short line competes with ''). The guard must yield zero line
+    rows for empty/whitespace-only docs, matching range(0,0) semantics."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta gamma", "", "   "],
+            "lang": ["en", "en", "en"],
+            "source": ["t", "t", "t"],
+        }
+    )
+    spark.createDataFrame(docs).write.parquet(str(tmp_path / "documents.parquet"))
+    from lakehouse_spain_mobility_spark.queries.webcur import q_line_dedup
+
+    rows = {r["doc_id"]: r.asDict() for r in q_line_dedup(spark, str(tmp_path)).collect()}
+    assert rows[0]["n_kept_lines"] == 1 and rows[0]["n_kept_tokens"] == 3
+    for d in (1, 2):
+        assert rows[d]["n_lines"] == 0
+        assert rows[d]["n_kept_lines"] == 0
+        assert rows[d]["n_kept_tokens"] == 0
