@@ -59,6 +59,93 @@ def unsalted_aggregate(df: DataFrame, keys: Sequence[str], value_col: str) -> Da
     )
 
 
+def keep_first(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[str],
+    payload: Sequence[str] = (),
+) -> DataFrame:
+    """Skew-proof keep-first: one row per ``keys`` group, minimal under
+    ``order`` (which must be unique within each group).
+
+    Equivalent to ``row_number().over(Window.partitionBy(keys)
+    .orderBy(order)) == 1`` but executes as a plain hash aggregation over
+    ``MIN(STRUCT(order..., payload...))``: map-side partial MINs absorb
+    any key skew — a line duplicated 10⁶ times collapses to one candidate
+    per input partition BEFORE the exchange, and no per-key sort ever
+    happens (the row_number form sorts the whole hot group in one task).
+    Struct comparison is lexicographic field-by-field, so with ``order``
+    unique per group the ``payload`` fields ride along without ever
+    deciding the winner. (SCALE.md §8c line_dedup fallback — VERDICT r3 #6.)
+    """
+    keys, order, payload = list(keys), list(order), list(payload)
+    first = df.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in order + payload])).alias("_first")
+    )
+    return first.select(
+        *keys, *[F.col(f"_first.{c}").alias(c) for c in order + payload]
+    )
+
+
+def quota_keep_by_hash(
+    df: DataFrame,
+    bucket_col: str,
+    key_col: str,
+    cap: int,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Exact per-bucket quota — keep the ``cap`` md5-smallest keys of each
+    bucket — without sorting any whole bucket (SCALE.md §132
+    diversity_prune fallback — VERDICT r3 #6).
+
+    The row_number form serializes a hot bucket into ONE task. Here the
+    md5 key is split on its first ``prefix_len`` hex chars (16^len
+    sub-ranges): per-(bucket, prefix) counts are tiny (|buckets|·16^len
+    rows, collected once), the driver locates each bucket's boundary
+    prefix and residual rank by cumulative sum, and only the boundary
+    slice — 16^len× smaller than the bucket — is window-ranked. Rows in
+    prefixes strictly below the boundary are kept by a broadcast-joined
+    threshold; the keep-set is bit-identical to the global
+    ``ORDER BY md5(key), key`` ranking because the prefix order IS the
+    md5 order restricted to prefix classes.
+    """
+    k = F.md5(F.col(key_col).cast("string").cast("binary"))
+    t = df.withColumn("_k", k).withColumn(
+        "_p", F.substring("_k", 1, prefix_len)
+    )
+    counts = t.groupBy(bucket_col, "_p").agg(F.count("*").alias("_n")).collect()
+    per: dict = {}
+    for r in counts:
+        per.setdefault(r[bucket_col], []).append((r["_p"], r["_n"]))
+    cuts = []  # (bucket, boundary_prefix, residual_rank)
+    for b, lst in per.items():
+        lst.sort()
+        cum = 0
+        bp, resid = None, None
+        for p, n in lst:
+            if cum + n >= cap:
+                bp, resid = p, cap - cum
+                break
+            cum += n
+        cuts.append((b, bp, resid))  # bp None -> bucket under quota, keep all
+    spark = df.sparkSession
+    cut_df = spark.createDataFrame(
+        cuts, f"{bucket_col} long, _bp string, _resid long"
+    )
+    joined = t.join(F.broadcast(cut_df), bucket_col)
+    below = joined.filter(F.col("_bp").isNull() | (F.col("_p") < F.col("_bp")))
+    boundary = joined.filter(F.col("_p") == F.col("_bp"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(bucket_col, "_p").orderBy("_k", key_col)
+    boundary_kept = (
+        boundary.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_resid"))
+        .drop("_rn")
+    )
+    return below.unionByName(boundary_kept).drop("_k", "_p", "_bp", "_resid")
+
+
 def salted_broadcast_join(
     fact: DataFrame,
     dim: DataFrame,

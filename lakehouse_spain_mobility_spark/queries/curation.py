@@ -286,10 +286,21 @@ _CAP_FRAC = 0.1  # per-bucket quota as a fraction of the whole corpus
 _BIT_PAIRS = ((1, 9, 8), (17, 25, 4), (33, 41, 2), (49, 57, 1))
 
 
-def q_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Above this corpus size the per-bucket row_number ranking (which
+# serializes a hot bucket into one sorted task) flips to the exact
+# md5-threshold quota (operators/skew.py quota_keep_by_hash) — same
+# keep-set, no whole-bucket sort. SCALE.md §132, implemented r4.
+_QUOTA_WINDOW_CAP = 5_000_000
+
+
+def q_diversity_prune(
+    spark: SparkSession, sf_dir: str, skew_safe: bool | None = None
+) -> DataFrame:
     """Quota-cap every LSH bucket at a fixed fraction of the corpus and
     report per-bucket kept/dropped counts (DataComp-style cluster-balanced
-    pruning; SemDeDup's cheaper cousin)."""
+    pruning; SemDeDup's cheaper cousin). ``skew_safe=None`` picks the path
+    by corpus size (the _QUOTA_WINDOW_CAP gate); both paths produce the
+    identical keep-set (property-tested in test_scale_patterns.py)."""
     e = load(spark, sf_dir, "embeddings")
     bucket = None
     for i, j, w in _BIT_PAIRS:
@@ -298,22 +309,43 @@ def q_diversity_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     b = e.select("vec_id", bucket.alias("bucket"))
-    tot = b.agg(F.count("*").alias("n_total_all"))
+    # corpus count doubles as the path gate and the literal quota (the A5
+    # scalar pattern — the oracle recomputes it relationally)
+    import math
+
+    n_total_all = b.count()
+    cap = int(math.ceil(n_total_all * _CAP_FRAC))
+    if skew_safe is None:
+        skew_safe = n_total_all > _QUOTA_WINDOW_CAP
+    if skew_safe:
+        from ..operators.skew import quota_keep_by_hash
+
+        kept = quota_keep_by_hash(b, "bucket", "vec_id", cap)
+        n_kept = kept.groupBy("bucket").agg(
+            F.count("*").cast("bigint").alias("n_kept")
+        )
+        return (
+            b.groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n_total"))
+            .join(n_kept, "bucket", "left")
+            .select(
+                "bucket",
+                "n_total",
+                F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            )
+            .withColumn(
+                "n_dropped", (F.col("n_total") - F.col("n_kept")).cast("bigint")
+            )
+        )
     w_rank = Window.partitionBy("bucket").orderBy(
         F.md5(F.col("vec_id").cast("string").cast("binary")), "vec_id"
     )
-    ranked = (
-        b.crossJoin(F.broadcast(tot))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .withColumn(
-            "cap", F.ceil(F.col("n_total_all") * F.lit(_CAP_FRAC)).cast("bigint")
-        )
-    )
+    ranked = b.withColumn("rn", F.row_number().over(w_rank))
     return (
         ranked.groupBy("bucket")
         .agg(
             F.count("*").cast("bigint").alias("n_total"),
-            F.sum(F.when(F.col("rn") <= F.col("cap"), 1).otherwise(0))
+            F.sum(F.when(F.col("rn") <= F.lit(cap), 1).otherwise(0))
             .cast("bigint")
             .alias("n_kept"),
         )

@@ -74,7 +74,9 @@ from .tables import load
 _LINE_TOKENS = 15  # fixed segmentation stand-in for '\n' on real corpora
 
 
-def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_line_dedup(
+    spark: SparkSession, sf_dir: str, skew_safe: bool = True
+) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     # explode(array(...)) is a projection barrier (cf. queries/bloom.py):
@@ -102,13 +104,23 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("w"), F.col("line_no") * _LINE_TOKENS + 1, _LINE_TOKENS), " "
         ).alias("line"),
     )
-    # Global keep-first: ONE hash shuffle on the line hash; no pairs.
-    w_first = Window.partitionBy("lh").orderBy("doc_id", "line_no")
-    kept = (
-        lines.withColumn("lh", F.md5(F.col("line").cast("binary")))
-        .withColumn("rn", F.row_number().over(w_first))
-        .filter(F.col("rn") == 1)
-    )
+    # Global keep-first: ONE shuffle on the line hash; no pairs. Default
+    # path is the skew-proof MIN(STRUCT) aggregation (operators/skew.py
+    # keep_first): map-side partial MINs collapse a boilerplate line
+    # duplicated 10⁶× to one candidate per input partition BEFORE the
+    # exchange, so no reducer ever sorts a hot group (SCALE.md §8c —
+    # implemented r4, was documented-only). The row_number window form is
+    # kept for the A/B equivalence test.
+    hashed = lines.withColumn("lh", F.md5(F.col("line").cast("binary")))
+    if skew_safe:
+        from ..operators.skew import keep_first
+
+        kept = keep_first(hashed, ["lh"], ["doc_id", "line_no"], ["line"])
+    else:
+        w_first = Window.partitionBy("lh").orderBy("doc_id", "line_no")
+        kept = hashed.withColumn("rn", F.row_number().over(w_first)).filter(
+            F.col("rn") == 1
+        )
     per_doc = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept_lines"),
         F.sum(F.size(F.split(F.col("line"), " "))).cast("bigint").alias("n_kept_tokens"),
