@@ -105,6 +105,31 @@ class Warehouse:
         out = out.sortWithinPartitions(*cols)
         out.write.mode("overwrite").parquet(self.path(name))
 
+    def create_or_replace_bucketed(
+        self, name: str, df: DataFrame, bucket_by: list[str], n_buckets: int = 32
+    ) -> DataFrame:
+        """Hash-bucketed + sorted table layout: ``bucketBy`` makes the scan
+        report ``HashPartitioning(bucket_by, n_buckets)``, so joins and
+        aggregations keyed on the bucket columns need NO Exchange — the
+        one-time ETL write replaces a per-query shuffle of the fact
+        relation (the 100 TB answer to fine-grained-aggregation shapes
+        like TPC-H Q2/Q11/Q16's partsupp surrogate, VERDICT r3 #2).
+        Registered in the session catalog (saveAsTable) because file-based
+        bucketing metadata lives there; returns the table DataFrame."""
+        spark = df.sparkSession
+        # a bucketed scan must not be silently re-planned away
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        (
+            df.write.mode("overwrite")
+            .option("path", self.path(name))  # external: data under THIS
+            # warehouse's root, so concurrent processes with distinct
+            # Warehouse roots never clobber each other's files
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*bucket_by)
+            .saveAsTable(name)
+        )
+        return spark.table(name)
+
     def drop_if_exists(self, name: str) -> None:
         p = self.path(name)
         if os.path.isdir(p):
