@@ -31,6 +31,8 @@ BENCH2 = [
     "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
     # round-3c selection operators (queries/selection.py)
     "cluster_representatives", "shard_manifest",
+    # round-4: J7 dissolve driver signal (queries/spatialx.py)
+    "spatial_dissolve",
 ]
 
 

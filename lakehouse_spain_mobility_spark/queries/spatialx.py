@@ -104,3 +104,109 @@ register(
         "ST_Transform 25830→4326 point grid: numpy kernel vs series-in-SQL oracle",
     )
 )
+
+
+# --- driver-checkable dissolve (J7) ------------------------------------------
+# The last pytest-only spatial corner (VERDICT r3 #4): the J7 overlay
+# (``dags/gravity/create_map.py:18-44`` — municipality polygons dissolved
+# per group, centroid + extent emitted to the map payload) gets a hard
+# driver signal via the spatial_transform recipe. A synthetic rectangle
+# grid with INTEGER coordinates is derived arithmetically from customer
+# keys; the Spark side serializes each rectangle to WKT text and runs it
+# through the REAL geometry kernels (``operators/spatial.py``: WKT ring
+# parser → shoelace area/centroid pandas UDFs → ``dissolve_centroids``
+# union aggregation → bounds), while the DuckDB oracle evaluates the same
+# shoelace algebra in closed form over the same derived coordinates.
+# Bit-parity by construction: integer coords make every shoelace
+# intermediate and every aggregation partial an exactly-representable
+# double (order-free), and the two closing divisions (ring centroid,
+# area-weighted dissolve) divide identical exact operands on both
+# engines, so correct rounding forces identical bytes; outputs are
+# armored to integers/micro-units as usual.
+
+
+def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import dissolve_centroids, st_area, st_bounds
+
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("bigint")
+    x0 = ((key % 50) * 100).cast("int")
+    y0 = ((key % 37) * 100).cast("int")
+    x1 = (x0 + 100 + (key % 7) * 20).cast("int")
+    y1 = (y0 + 100 + (key % 11) * 10).cast("int")
+    parts = c.select(
+        (key % 25).alias("grp"),
+        F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+        ).alias("geometry"),
+    ).localCheckpoint(eager=False)  # two consumers: dissolve + extent agg
+    cent = dissolve_centroids(parts, ["grp"])  # the J7 operator itself
+    ext = (
+        parts.withColumn("a", st_area(F.col("geometry")))
+        .withColumn("b", st_bounds(F.col("geometry")))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("a").cast("bigint").alias("area_sum"),
+            F.min(F.col("b.xmin")).cast("bigint").alias("xmin"),
+            F.min(F.col("b.ymin")).cast("bigint").alias("ymin"),
+            F.max(F.col("b.xmax")).cast("bigint").alias("xmax"),
+            F.max(F.col("b.ymax")).cast("bigint").alias("ymax"),
+        )
+    )
+    return ext.join(cent, "grp").select(
+        "grp",
+        "n_parts",
+        "area_sum",
+        micro(F.col("lon")).alias("cx_micro"),
+        micro(F.col("lat")).alias("cy_micro"),
+        "xmin",
+        "ymin",
+        "xmax",
+        "ymax",
+    )
+
+
+_DISSOLVE_SQL = f"""
+WITH rect AS (
+    SELECT CAST(c_custkey % 25 AS BIGINT) AS grp,
+           CAST((c_custkey % 50) * 100 AS DOUBLE) AS x0,
+           CAST((c_custkey % 37) * 100 AS DOUBLE) AS y0,
+           CAST((c_custkey % 50) * 100 + 100 + (c_custkey % 7) * 20 AS DOUBLE) AS x1,
+           CAST((c_custkey % 37) * 100 + 100 + (c_custkey % 11) * 10 AS DOUBLE) AS y1
+    FROM customer
+),
+part AS (
+    -- shoelace of the CCW rectangle ring: area (x1-x0)(y1-y0) exactly,
+    -- centroid = midpoint exactly (same divisions the numpy kernel does)
+    SELECT grp,
+           (x1 - x0) * (y1 - y0) AS a,
+           (x0 + x1) / 2.0 AS cx,
+           (y0 + y1) / 2.0 AS cy,
+           x0, y0, x1, y1
+    FROM rect
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(a) AS BIGINT) AS area_sum,
+       {sql_micro('SUM(cx * a) / SUM(a)')} AS cx_micro,
+       {sql_micro('SUM(cy * a) / SUM(a)')} AS cy_micro,
+       CAST(MIN(x0) AS BIGINT) AS xmin,
+       CAST(MIN(y0) AS BIGINT) AS ymin,
+       CAST(MAX(x1) AS BIGINT) AS xmax,
+       CAST(MAX(y1) AS BIGINT) AS ymax
+FROM part GROUP BY grp
+"""
+
+
+register(
+    QuerySpec(
+        "spatial_dissolve",
+        q_spatial_dissolve,
+        _DISSOLVE_SQL,
+        "J7,A9,F-geo",
+        False,
+        "Dissolve overlay: WKT rectangles through the real parser/shoelace/union kernels vs closed-form oracle",
+    )
+)

@@ -210,6 +210,8 @@ SUITES: dict[str, list[str]] = {
         "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
         # round-3c selection additions (queries/selection.py)
         "cluster_representatives", "shard_manifest",
+        # round-4 fold-in (VERDICT r3 #4): the J7 dissolve driver signal
+        "spatial_dissolve",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
@@ -228,7 +230,7 @@ _DESCR = {
     "text_suite": "Canonicalized bundle: text analysis + fingerprint + chunking",
     "similarity_suite": "Canonicalized bundle: embedding similarity / ANN set",
     "olap_suite": "Canonicalized bundle: OLAP rollup/pivot/percentile/stats set",
-    "round2_suite": "Canonicalized bundle: round-2/3 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform + curation: substring-spans/temperature-mix/diversity-prune/vocab-growth + line-dedup/hamming-ANN/PMI)",
+    "round2_suite": "Canonicalized bundle: round-2/3/4 operators (ts/retrieval/graph/SCD2/PQ/LM + Q2/Q11/Q16/Q20 + frames/triangles/containment/ST_Transform/dissolve + curation: substring-spans/temperature-mix/diversity-prune/vocab-growth + line-dedup/hamming-ANN/PMI)",
     "analytic_window_suite": "Canonicalized bundle: time-window + specialty joins",
 }
 
@@ -241,7 +243,7 @@ _SURVEY = {
     "text_suite": "TXT",
     "similarity_suite": "TD-ann",
     "olap_suite": "A4,W-olap",
-    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi,TD-cdc,TD-reps,TD-shard",
+    "round2_suite": "TS-gapfill,BLOOM,TXT-bm25,GRAPH-pagerank,K-scd2,ANN-pq,TXT-ppl,TXT-dsir,DD-recall,MM-frames,GRAPH-tri,DD-containment,F-geo,J7,TD-dedup,TD-mix,TD-prune,TXT-vocab,TXT-clf,F-nested,TD-linededup,TD-ann,TXT-pmi,TD-cdc,TD-reps,TD-shard",
     "analytic_window_suite": "W,S5,U",
 }
 

@@ -1,0 +1,84 @@
+"""Decade check (VERDICT r3 #5): time the ≥2×-at-sf1 weak set plus the
+round-4-rewritten operators on BOTH engines at one sf dir, same session,
+and emit one JSON line {query: {spark, duckdb, ratio}}. Run at sf1 and
+sf3 (scripts/make_sf1.py with replicas=30) to see whether each ratio is
+flat-or-falling across the decade step — the claim the sf1 pass left as
+extrapolation.
+
+Usage: python scripts/decade_bench.py [sf_dir] [label]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from lakehouse_spain_mobility_spark.queries import load_all
+from lakehouse_spain_mobility_spark.queries.tables import TABLE_NAMES
+from lakehouse_spain_mobility_spark.session import build_session
+
+# the sf1 weak set (PERF.md round 3) + the operators round 4 rewrote
+QUERIES = [
+    "tpch_q2", "tpch_q11", "tpch_q16",          # partsupp surrogate (bucketed r4)
+    "scd2_history", "window_frames_battery",     # >3x at sf1
+    "substring_span_dedup",                      # 1.96x at sf1 (single-shuffle r4)
+    "typical_day", "report_rollup",              # reference headliners, 7x at sf1
+    "pq_adc_search", "bm25_search", "perplexity_filter",
+    "dsir_weights", "pmi_bigrams",               # global-topk rewrites r4
+    "line_dedup", "diversity_prune",             # skew-fallback rewrites r4
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
+    label = sys.argv[2] if len(sys.argv) > 2 else sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    registry = load_all()
+    specs = [registry[n] for n in QUERIES]
+
+    spark = build_session(app_name="decade-bench")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark_t: dict[str, float] = {}
+    for spec in specs:
+        spec.build(spark, sf_dir).collect()  # warmup (codegen + bucket ETL)
+        t0 = time.perf_counter()
+        n = len(spec.build(spark, sf_dir).collect())
+        spark_t[spec.name] = round(time.perf_counter() - t0, 3)
+        print(f"# spark {spec.name}: {spark_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+            assert glob.glob(path), path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    duck_t: dict[str, float] = {}
+    for spec in specs:
+        con.execute(spec.oracle).fetchall()
+        t0 = time.perf_counter()
+        n = len(con.execute(spec.oracle).fetchall())
+        duck_t[spec.name] = round(time.perf_counter() - t0, 3)
+        print(f"# duckdb {spec.name}: {duck_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+    con.close()
+
+    out = {
+        q: {
+            "spark": spark_t[q],
+            "duckdb": duck_t[q],
+            "ratio": round(spark_t[q] / duck_t[q], 3) if duck_t[q] > 0 else None,
+        }
+        for q in QUERIES
+    }
+    print(json.dumps({"label": label, "sf_dir": sf_dir, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()

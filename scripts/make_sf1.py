@@ -10,8 +10,9 @@ payloads replicate as-is — cross-replica exact duplicates are the expected
 corpus shape at 10×, and the df-capped dedup paths are exactly the
 operators whose scaling this measures.
 
-Usage: python scripts/make_sf1.py [src_dir] [dest_dir]
-Defaults: /root/testdata/sf0.1 -> /root/repo/.testdata_sf1
+Usage: python scripts/make_sf1.py [src_dir] [dest_dir] [replicas]
+Defaults: /root/testdata/sf0.1 -> /root/repo/.testdata_sf1, 10 replicas
+(replicas=30 builds the sf3 decade-check dataset, VERDICT r3 #5).
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ FIXED = {"region", "nation"}
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.testdata_sf1"
+    replicas = int(sys.argv[3]) if len(sys.argv) > 3 else REPLICAS
     spark = build_session(app_name="make-sf1")
     for t in TABLE_NAMES:
         df = load(spark, src, t)
@@ -58,14 +60,14 @@ def main() -> None:
             k: int(df.agg(F.max(F.col(k))).first()[0]) + 1 for k in keys
         }
         rep = df.crossJoin(
-            spark.range(REPLICAS).select(F.col("id").alias("_r"))
+            spark.range(replicas).select(F.col("id").alias("_r"))
         )
         for k in keys:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("_r") * F.lit(strides[k])).cast(df.schema[k].dataType)
             )
         rep.drop("_r").write.mode("overwrite").parquet(out)
-        print(f"{t}: x{REPLICAS} with offsets {strides}")
+        print(f"{t}: x{replicas} with offsets {strides}")
     spark.stop()
 
 

@@ -194,3 +194,38 @@ def test_jsonl_round_trip(spark, tmp_path):
     a = sorted(r["doc_id"] for r in src.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in back.select("doc_id").collect())
     assert a == b
+
+
+def test_spatial_dissolve_matches_independent_geometry(spark):
+    """J7 driver-signal query: the WKT-parser/shoelace/union path must
+    reproduce the closed-form rectangle geometry — area_sum = Σ w·h, the
+    dissolved centroid is the area-weighted midpoint mean, and it falls
+    inside the group bbox."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    rows = {r["grp"]: r.asDict() for r in reg["spatial_dissolve"].build(spark, sf).collect()}
+    import pandas as pd
+
+    c = pd.read_parquet(f"{sf}/customer.parquet")["c_custkey"]
+    exp = {}
+    for k in c:
+        g = int(k % 25)
+        x0, y0 = int(k % 50) * 100, int(k % 37) * 100
+        w, h = 100 + int(k % 7) * 20, 100 + int(k % 11) * 10
+        a = w * h
+        e = exp.setdefault(g, {"n": 0, "area": 0, "sx": 0.0, "sy": 0.0})
+        e["n"] += 1
+        e["area"] += a
+        e["sx"] += (x0 + w / 2.0) * a
+        e["sy"] += (y0 + h / 2.0) * a
+    assert set(rows) == set(exp)
+    for g, e in exp.items():
+        r = rows[g]
+        assert r["n_parts"] == e["n"]
+        assert r["area_sum"] == e["area"]
+        assert r["cx_micro"] == round(e["sx"] / e["area"] * 1e6)
+        assert r["cy_micro"] == round(e["sy"] / e["area"] * 1e6)
+        assert r["xmin"] <= r["cx_micro"] / 1e6 <= r["xmax"]
+        assert r["ymin"] <= r["cy_micro"] / 1e6 <= r["ymax"]
