@@ -106,6 +106,45 @@ def sigma_filtered_stats_window(
     )
 
 
+def sigma_filtered_stats_broadcast(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    date_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Broadcast join-back variant — the bounded-exchange plan for scale.
+
+    The window form shuffles the ENTIRE fact on the keys (every row
+    crosses the wire so the per-partition sort can run); here nothing
+    fact-sized is ever exchanged: the stats aggregation's map-side
+    partials collapse each input partition to ≤|groups| rows before its
+    (tiny) exchange, the group-level stats table broadcasts back onto an
+    unshuffled second scan, and the final aggregation's partials collapse
+    again to ≤|groups × dates| rows (a fixed cardinality at any corpus
+    size — day_type×hour×zones×dates). Exchange volume is O(|groups|·
+    partitions), not O(|fact|): at sf1 this is the difference between
+    shuffling 60M rows and shuffling a few hundred thousand partials.
+    Semantics identical to the other two forms (deterministic fixed-point
+    aggregation; proven by the shared oracle hash)."""
+    keys = list(keys)
+    v = F.col(value_col)
+    stats = df.groupBy(*keys).agg(
+        xdavg(value_col).alias("_mu"),
+        xdstddev_samp0(value_col).alias("_sigma"),
+    )
+    joined = df.join(F.broadcast(stats), on=keys)
+    band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
+    band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
+    filtered = joined.filter(v.between(band_lo, band_hi))
+    return filtered.groupBy(*keys).agg(
+        xdsum(value_col).alias("total_trips"),
+        xdavg(value_col).alias("avg_trips"),
+        xdstddev_samp0(value_col).alias("std_trips"),
+        F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
+    )
+
+
 def unfiltered_stats(df: DataFrame, keys: Sequence[str], value_col: str, date_col: str) -> DataFrame:
     """The reference's degraded fast path — same battery, no outlier band
     (dags/mitma/new_gold.py:151-179)."""

@@ -25,7 +25,11 @@ from ..functions.deterministic import (
     xdavg,
     xdsum,
 )
-from ..operators.outlier_stats import sigma_filtered_stats_window, unfiltered_stats
+from ..operators.outlier_stats import (
+    sigma_filtered_stats_broadcast,
+    sigma_filtered_stats_window,
+    unfiltered_stats,
+)
 from . import QuerySpec, register
 from .tables import load
 
@@ -61,16 +65,26 @@ _SILVER_SQL = f"""
 _KEYS = ["day_type", "hour_period", "origin_zone", "destination_zone"]
 
 
-def q_typical_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_typical_day(spark: SparkSession, sf_dir: str, form: str = "broadcast") -> DataFrame:
     """Gold typical-day patterns with 3σ outlier rejection
     (dags/mitma/new_gold.py:22-86).
 
-    Uses the window-function form (one shuffle, single scan) rather than the
-    reference's stats-CTE self-join; deterministic decimal aggregation makes
-    the two forms bit-identical, and the oracle SQL keeps the reference's
-    join shape to prove it.
+    Three interchangeable physical forms — deterministic decimal
+    aggregation makes them bit-identical, and the oracle SQL keeps the
+    reference's stats-CTE join shape to prove it:
+    - ``broadcast`` (default since r4): bounded-exchange plan — map-side
+      partials collapse to group cardinality before any wire transfer and
+      the stats table broadcasts back onto an unshuffled scan, so nothing
+      fact-sized ever crosses an exchange
+      (``operators/outlier_stats.py:sigma_filtered_stats_broadcast``);
+    - ``window``: one full-fact shuffle feeds both the stats window and
+      the final aggregation (the round-2 choice — fewer stages, but the
+      whole fact rides the wire);
+    - the plain self-join lives in ``sigma_filtered_stats``.
     """
     silver = _events_silver(spark, sf_dir)
+    if form == "broadcast":
+        return sigma_filtered_stats_broadcast(silver, _KEYS, "trips", "date", n_sigma=3.0)
     return sigma_filtered_stats_window(silver, _KEYS, "trips", "date", n_sigma=3.0)
 
 

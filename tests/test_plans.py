@@ -57,12 +57,25 @@ def test_gravity_dims_broadcast(spark):
     assert pi.count_nested_loop_joins(df) <= 1
 
 
-def test_typical_day_single_shuffle_before_agg(spark):
-    """Window form: one hash-partition exchange feeds both the window and
-    the final aggregation (vs 2 scans + 3 exchanges for the join form)."""
+def test_typical_day_bounded_exchange_plan(spark):
+    """Broadcast form (r4 default): nothing fact-sized crosses an
+    exchange — the stats aggregation exchanges map-side partials
+    (≤|groups| per input partition), the stats table joins back as a
+    BROADCAST onto an unshuffled scan, and the final aggregation's
+    partials collapse again (the COUNT DISTINCT date rewrite adds a
+    (keys, date)-level exchange, still bounded by |groups × dates|).
+    Exactly three such exchanges, zero sort-merge joins."""
     df = REG["typical_day"].build(spark, SF_DIR_ORACLE)
-    assert pi.count_shuffles(df) == 1
+    assert pi.count_shuffles(df) == 3
+    assert pi.count_broadcast_joins(df) >= 1
+    assert pi.count_sortmerge_joins(df) == 0
     assert pi.has_whole_stage_codegen(df)  # final (AQE-resolved) plan
+    # the window form remains available and bit-identical
+    from lakehouse_spain_mobility_spark.queries.core import q_typical_day
+
+    w = q_typical_day(spark, SF_DIR_ORACLE, form="window")
+    assert pi.count_shuffles(w) == 1
+    assert sorted(map(tuple, w.collect())) == sorted(map(tuple, df.collect()))
 
 
 def test_events_scan_prunes_unused_columns(spark):
