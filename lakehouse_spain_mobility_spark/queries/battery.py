@@ -451,17 +451,15 @@ def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # The SQL-shaped form of lv is LAST_VALUE over [CURRENT ROW, UNBOUNDED
-    # FOLLOWING] (the oracle keeps it), but Spark's
-    # UnboundedFollowingWindowFunctionFrame re-evaluates the whole
-    # remaining frame per row — O(n²) per partition (measured: fine at
-    # sf0.1's 25k-row partitions, ~10 min at sf1's 250k). The scale-safe
-    # Spark idiom is FIRST over the REVERSED cumulative frame, which runs
-    # in the incremental UnboundedPreceding path — identical values.
-    w_rev_cum = (
-        Window.partitionBy("event_type")
-        .orderBy(F.desc("value"), F.desc("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # FOLLOWING] (the oracle keeps it). Round 3 rewrote Spark's O(n²)
+    # UnboundedFollowingWindowFunctionFrame as FIRST over the reversed
+    # cumulative frame; round 4 observes the frame always reaches the
+    # partition END, so lv is CONSTANT per partition — the row with max
+    # (value, event_id) — and an UNORDERED full-partition MAX(STRUCT)
+    # computes it with no sort at all (the reversed form paid a second,
+    # descending sort of the whole fact; sf3 decade check).
+    w_all = Window.partitionBy("event_type")
+    lv = F.max(F.struct(F.col("value"), F.col("event_id"))).over(w_all)["event_id"]
     w_mov = w.rowsBetween(-2, 2)
     w_rng = (
         Window.partitionBy("event_type")
@@ -475,7 +473,7 @@ def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "event_type",
         F.first("event_id").over(w_cum).alias("fv"),
-        F.first("event_id").over(w_rev_cum).alias("lv"),
+        lv.alias("lv"),
         F.nth_value("event_id", 3).over(w_cum).alias("nth3"),
         F.count("*").over(w_mov).cast("bigint").alias("mov_cnt"),
         mov_sum.cast("long").alias("mov_sum_ppm"),
