@@ -203,3 +203,56 @@ def test_section_extraction_battery(wh):
     sxmin, symin, sxmax, symax = summary["silver_bbox"]
     gxmin, gymin, gxmax, gymax = summary["gold_bbox"]
     assert sxmin <= gxmin and sxmax >= gxmax and symin <= gymin and symax >= gymax
+
+
+def test_orchestration_retries_and_backfill(spark, tmp_path):
+    """Airflow-analog bookkeeping (dags/mitma/mitma_task_DAG.py:153-157 —
+    retries + mapped-task backfill at max_active_tasks=1): a task that
+    fails twice succeeds on the third attempt with every attempt in the
+    run ledger; a backfill isolates a permanently-failing key, and a
+    re-run skips succeeded keys without re-executing them."""
+    from lakehouse_spain_mobility_spark.catalog import Warehouse
+    from lakehouse_spain_mobility_spark.pipelines.orchestrate import (
+        RUN_LEDGER,
+        backfill,
+        last_status,
+        run_with_retries,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError(f"boom {calls['n']}")
+        return "done"
+
+    ok, result = run_with_retries(wh, "ingest", "2024-03-01", flaky, max_retries=2)
+    assert ok and result == "done" and calls["n"] == 3
+    rows = sorted(
+        (r["attempt"], r["status"]) for r in wh.read(RUN_LEDGER).collect()
+    )
+    assert rows == [(1, "retrying"), (2, "retrying"), (3, "success")]
+    assert last_status(wh, "ingest", "2024-03-01") == "success"
+
+    ran = []
+
+    def task(key):
+        ran.append(key)
+        if key == "d2":
+            raise ValueError("poison file")
+        return key
+
+    statuses = backfill(wh, "daily", ["d1", "d2", "d3"], task, max_retries=1)
+    assert statuses == {"d1": "success", "d2": "failed", "d3": "success"}
+    assert ran.count("d2") == 2  # 1 + max_retries attempts
+    # re-run: succeeded keys skip WITHOUT re-executing; failed key retries
+    ran.clear()
+    statuses2 = backfill(wh, "daily", ["d1", "d2", "d3"], task, max_retries=0)
+    assert statuses2 == {"d1": "skipped", "d2": "failed", "d3": "skipped"}
+    assert ran == ["d2"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        backfill(wh, "daily", ["d1"], task, max_active_tasks=4)
