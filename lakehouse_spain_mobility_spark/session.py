@@ -21,6 +21,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def s3a_conf(
+    endpoint: str,
+    path_style: bool = True,
+    upload_buffer: str = "disk",
+) -> dict[str, str]:
+    """S3A warehouse configuration — the Spark mirror of the reference's
+    ``connect_ducklake`` S3 attach (``dags/ducklake_utils.py:31-141``:
+    endpoint, path-style addressing, credential chain, upload tuning).
+
+    Pass to ``build_session(extra_conf=s3a_conf(...))``; credentials ride
+    the standard provider chain (env/instance profile), never literals.
+    Executing against a live endpoint additionally needs the hadoop-aws +
+    AWS SDK artifacts on the classpath (a deploy-time jar choice; this
+    sandbox ships none, so the smoke test asserts the conf surface and the
+    artifact path runs against a moto-mocked S3 instead)."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.path.style.access": "true" if path_style else "false",
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+            if endpoint.startswith("http://localhost")
+            else "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        ),
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": (
+            "false" if endpoint.startswith("http://") else "true"
+        ),
+        "spark.hadoop.fs.s3a.fast.upload.buffer": upload_buffer,
+        # on a real deployment also set the cloud-committer pair
+        # (fs.s3a.committer.name=magic + PathOutputCommitProtocol) — those
+        # classes live in the hadoop-cloud artifact, absent here, and a
+        # conf pointing at a missing class would break every local write
+    }
+
+
 def build_session(
     app_name: str = "lakehouse-spain-mobility-spark",
     master: str | None = None,

@@ -148,3 +148,28 @@ def test_bq1_all_districts_enumeration(wh, tmp_path):
     arts = reports.run_bq1_all_districts(wh, str(tmp_path / "bq1"))
     assert len(arts) == 9  # one per fixture municipality's district
     assert all(os.path.exists(a["csv"]) and os.path.exists(a["markdown"]) for a in arts.values())
+
+
+def test_s3_artifact_store_moto_roundtrip(tmp_path):
+    """The S3-shaped artifact sink against a REAL (moto-mocked) S3: the
+    boto3 calling convention the reference uses
+    (dags/mitma/generate_report.py:67-88) must round-trip bytes and return
+    the s3:// URI — no injected fakes, the actual client API."""
+    import boto3
+    from moto import mock_aws
+
+    from lakehouse_spain_mobility_spark.pipelines.artifacts import S3ArtifactStore
+
+    src = tmp_path / "report.pdf"
+    src.write_bytes(b"%PDF-1.4 fake-bytes")
+    with mock_aws():
+        client = boto3.client("s3", region_name="us-east-1")
+        client.create_bucket(Bucket="reports-bucket")
+        store = S3ArtifactStore("reports-bucket", prefix="mitma/",
+                                client_factory=lambda: client)
+        uri = store.put(str(src), "2024/03/report.pdf")
+        assert uri == "s3://reports-bucket/mitma/2024/03/report.pdf"
+        body = client.get_object(
+            Bucket="reports-bucket", Key="mitma/2024/03/report.pdf"
+        )["Body"].read()
+        assert body == b"%PDF-1.4 fake-bytes"
