@@ -31,8 +31,9 @@ BENCH2 = [
     "line_dedup", "hamming_ann", "pmi_bigrams", "snapshot_diff",
     # round-3c selection operators (queries/selection.py)
     "cluster_representatives", "shard_manifest",
-    # round-4: J7 dissolve driver signal (queries/spatialx.py)
-    "spatial_dissolve",
+    # round-4: J7 dissolve driver signal (queries/spatialx.py) +
+    # incremental crawl-vs-index dedup (queries/increment.py)
+    "spatial_dissolve", "incremental_dedup", "zorder_cluster",
 ]
 
 

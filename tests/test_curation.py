@@ -89,3 +89,40 @@ def test_vocab_growth_is_monotone_heaps_curve(spark):
     # Heaps' law: type growth decelerates — the last decile adds fewer new
     # types than the first (which adds its entire vocabulary)
     assert out[-1]["new_types"] < out[0]["new_types"]
+
+
+def test_incremental_dedup_planted_statuses(spark, tmp_path):
+    """TD-dedup-incr semantics on a planted corpus: a batch doc identical
+    to an index doc is exact_dup, a one-word variant of an index doc is
+    near_dup (LSH band collision), a later copy of an earlier batch doc
+    is batch_dup, and a novel doc is kept. Statuses are deterministic
+    (md5-based MinHash), pinned against the DuckDB-verified outcome."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 3, 5, 8, 13, 4, 9],
+            "text": [
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight nine ten",
+                "unique totally different words appear here nowhere else",
+                "unique totally different words appear here nowhere else",
+                "one two three four five six seven eight nine ten",
+                "one two three four five six seven eight nine eleven",
+            ],
+            "lang": ["en"] * 7,
+            "source": ["t"] * 7,
+        }
+    )
+    spark.createDataFrame(docs).write.parquet(str(tmp_path / "documents.parquet"))
+    from lakehouse_spain_mobility_spark.queries.increment import q_incremental_dedup
+
+    got = {r["doc_id"]: r["status"] for r in q_incremental_dedup(spark, str(tmp_path)).collect()}
+    assert got == {
+        3: "exact_dup",   # byte-identical to index doc 0
+        4: "exact_dup",   # byte-identical to index doc 5
+        8: "kept",        # novel content
+        9: "near_dup",    # one-word variant of index doc 5
+        13: "batch_dup",  # copy of EARLIER batch doc 8
+    }
