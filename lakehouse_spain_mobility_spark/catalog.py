@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def zorder_expr(x_col: str, y_col: str, bits: int = 16) -> str:
+    """Morton (Z-order) interleave of two non-negative integer columns as
+    portable SQL text: bit i of x lands at position 2i, bit i of y at
+    2i+1. Identical text runs on Spark (``F.expr``) and DuckDB — shifts,
+    masks and ORs only, whole-stage codegen on the Spark side. Inputs are
+    masked to ``bits`` bits (callers quantize floats/ranges first)."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_col}) & {mask}) >> {i}) & 1) << {2 * i}")
+        terms.append(f"(((({y_col}) & {mask}) >> {i}) & 1) << {2 * i + 1}")
+    return "CAST(" + " | ".join(f"({t})" for t in terms) + " AS BIGINT)"
+
+
 class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -129,6 +143,28 @@ class Warehouse:
             .saveAsTable(name)
         )
         return spark.table(name)
+
+    def create_or_replace_zordered(
+        self,
+        name: str,
+        df: DataFrame,
+        x_col: str,
+        y_col: str,
+        bits: int = 16,
+        n_files: int | None = None,
+    ) -> None:
+        """Two-dimensional clustered layout via a Morton (Z-order) key:
+        range-partition + sort on the bit-interleaved key, so every output
+        file covers a small RECTANGLE in (x, y) — parquet min/max stats
+        then prune scans filtered on EITHER column (single-key clustering
+        only prunes its own column). The Delta/Iceberg ``OPTIMIZE ZORDER
+        BY`` analog for the plain-parquet warehouse; the interleave is a
+        pure codegen expression (``zorder_expr``), no UDF."""
+        z = F.expr(zorder_expr(x_col, y_col, bits)).alias("_z")
+        out = df.select("*", z)
+        out = out.repartitionByRange(*([n_files] if n_files else []), F.col("_z"))
+        out = out.sortWithinPartitions("_z")
+        out.drop("_z").write.mode("overwrite").parquet(self.path(name))
 
     def drop_if_exists(self, name: str) -> None:
         p = self.path(name)

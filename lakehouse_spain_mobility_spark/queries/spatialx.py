@@ -210,3 +210,70 @@ register(
         "Dissolve overlay: WKT rectangles through the real parser/shoelace/union kernels vs closed-form oracle",
     )
 )
+
+
+# --- Z-order (Morton) clustering key -----------------------------------------
+# The multi-dimensional layout key behind Warehouse.create_or_replace_
+# zordered (Delta/Iceberg OPTIMIZE ZORDER analog): bit-interleave two
+# quantized dimensions so range-clustering on ONE key gives every file a
+# small (x, y) RECTANGLE — parquet min/max stats then prune on either
+# column. The interleave is shared SQL text (catalog.py:zorder_expr) that
+# runs identically through Spark codegen and the DuckDB oracle; the query
+# groups the corpus into z-prefix cells and reports per-cell extents,
+# whose tightness IS the locality property the layout buys.
+
+_Z_BITS = 8
+_Z_CELL_SHIFT = 8  # 2*bits - shift = 8 -> 256 cells
+
+
+def q_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import zorder_expr
+
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 251).cast("bigint").alias("x"),
+        ((F.col("c_custkey") * 7) % 241).cast("bigint").alias("y"),
+    )
+    cell = F.expr(f"CAST({zorder_expr('x', 'y', _Z_BITS)} >> {_Z_CELL_SHIFT} AS BIGINT)")
+    cells = pts.select("x", "y", cell.alias("cell"))
+    return cells.groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n_pts"),
+        F.min("x").cast("bigint").alias("xmin"),
+        F.max("x").cast("bigint").alias("xmax"),
+        F.min("y").cast("bigint").alias("ymin"),
+        F.max("y").cast("bigint").alias("ymax"),
+    )
+
+
+def _zorder_sql() -> str:
+    from ..catalog import zorder_expr
+
+    return f"""
+WITH pts AS (
+    SELECT CAST(c_custkey % 251 AS BIGINT) AS x,
+           CAST((c_custkey * 7) % 241 AS BIGINT) AS y
+    FROM customer
+),
+cells AS (
+    SELECT x, y, CAST({zorder_expr('x', 'y', _Z_BITS)} >> {_Z_CELL_SHIFT} AS BIGINT) AS cell
+    FROM pts
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(MIN(x) AS BIGINT) AS xmin, CAST(MAX(x) AS BIGINT) AS xmax,
+       CAST(MIN(y) AS BIGINT) AS ymin, CAST(MAX(y) AS BIGINT) AS ymax
+FROM cells GROUP BY cell
+"""
+
+
+register(
+    QuerySpec(
+        "zorder_cluster",
+        q_zorder_cluster,
+        _zorder_sql(),
+        "K-layout",
+        False,
+        "Morton-key cell extents: shared bit-interleave SQL through Spark codegen vs DuckDB",
+    )
+)

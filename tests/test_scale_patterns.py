@@ -471,3 +471,46 @@ print("RESULT:" + json.dumps({"conf": ok_conf, "storage_suite": bool(r.match)}))
     assert line, f"no result line; stderr tail: {proc.stderr[-2000:]}"
     results = json.loads(line[0][len("RESULT:"):])
     assert all(results.values()), results
+
+
+def test_zordered_layout_is_locality_preserving_in_both_dims(spark, tmp_path):
+    """K-layout: Z-order clustering must give every output file a small
+    (x, y) RECTANGLE — per-file spans bounded in BOTH dimensions, which
+    single-key range clustering cannot do (its second dimension spans the
+    whole domain). That per-file tightness is exactly what parquet
+    min/max stats need to prune scans filtered on either column."""
+    from lakehouse_spain_mobility_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    pts = spark.range(200_000).select(
+        (F.col("id") % 251).alias("x"), ((F.col("id") * 7) % 241).alias("y")
+    )
+    wh.create_or_replace_zordered("zpts", pts, "x", "y", bits=8, n_files=16)
+    back = wh.read("zpts")
+    spans = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .agg(F.avg("dx").alias("mdx"), F.avg("dy").alias("mdy"))
+        .first()
+    )
+    # comparison baseline: the same data range-clustered on x alone —
+    # perfect x locality, but every file spans the ENTIRE y domain
+    wh.create_or_replace_clustered("xpts", pts, ["x"], n_files=16)
+    base = (
+        wh.read("xpts")
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("y") - F.min("y")).alias("dy"))
+        .agg(F.avg("dy").alias("mdy"))
+        .first()
+    )
+    # z-order: mean per-file span well under the domain in BOTH dims
+    # (quantile-boundary files straddle high-bit flips, hence mean not
+    # max); single-key clustering leaves its second dimension unclustered
+    assert spans["mdx"] <= 170 and spans["mdy"] <= 120, dict(spans.asDict())
+    assert base["mdy"] >= 230, base["mdy"]  # the failure mode z-order fixes
+    assert back.count() == 200_000
