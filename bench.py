@@ -33,7 +33,7 @@ BENCH2 = [
     "cluster_representatives", "shard_manifest",
     # round-4: J7 dissolve driver signal (queries/spatialx.py) +
     # incremental crawl-vs-index dedup (queries/increment.py)
-    "spatial_dissolve", "incremental_dedup", "zorder_cluster",
+    "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank",
 ]
 
 

@@ -321,3 +321,99 @@ for _spec in [
               "Per-label embedding centroid components"),
 ]:
     register(_spec)
+
+
+# --- late-interaction (ColBERT-style MaxSim) reranking -----------------------
+# Public method: multi-vector retrieval scores a document as
+# sum over query token vectors of the MAX dot product against any doc
+# token vector (Khattab & Zaharia 2020). The 64-dim embedding stands in
+# for 4 token vectors of 16 dims (the PQ subspace convention from
+# queries/pq.py). Spark-first: the 4 query subvectors ride as array
+# LITERALS (A5 broadcast-by-closure); each dot is a dimension-sequential
+# zip_with/aggregate fold (whole-stage codegen, the oracle's list_reduce
+# order); per-doc score = left-to-right sum of 4 MAXes, quantized to ppm.
+# No join, no shuffle before the heap top-k — at 100 TB the scoring pass
+# is a narrow scan, exactly the late-interaction serving shape.
+
+_MAXSIM_SUB = 16
+_MAXSIM_M = 4
+_MAXSIM_TOP = 20
+_MAXSIM_QUERY = 0
+
+
+def _maxsim_dot(sub_col, q_lit):
+    prods = F.zip_with(sub_col, q_lit, lambda x, y: x.cast("double") * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import global_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == _MAXSIM_QUERY).select("embedding").first()[0]
+    q_subs = [
+        F.lit([float(x) for x in qvec[s * _MAXSIM_SUB : (s + 1) * _MAXSIM_SUB]])
+        for s in range(_MAXSIM_M)
+    ]
+    doc_subs = [
+        F.slice("embedding", s * _MAXSIM_SUB + 1, _MAXSIM_SUB)
+        for s in range(_MAXSIM_M)
+    ]
+    score = None
+    for qi in q_subs:
+        best = F.greatest(*[_maxsim_dot(ds, qi) for ds in doc_subs])
+        score = best if score is None else score + best
+    scored = e.filter(F.col("vec_id") != _MAXSIM_QUERY).select(
+        "vec_id", micro(score).alias("maxsim_ppm")
+    )
+    return global_topk(
+        scored, _MAXSIM_TOP, [F.desc("maxsim_ppm"), F.asc("vec_id")]
+    ).select("rank", "vec_id", "maxsim_ppm")
+
+
+def _maxsim_sql() -> str:
+    def dot(s_q: int, s_d: int) -> str:
+        lo_d = s_d * _MAXSIM_SUB
+        lo_q = s_q * _MAXSIM_SUB
+        return (
+            f"list_reduce(list_transform(generate_series(1, {_MAXSIM_SUB}), "
+            f"i -> CAST(c.e[i + {lo_d}] AS DOUBLE) * q.e[i + {lo_q}]), "
+            f"(x, y) -> x + y)"
+        )
+
+    terms = []
+    for s_q in range(_MAXSIM_M):
+        maxes = ", ".join(dot(s_q, s_d) for s_d in range(_MAXSIM_M))
+        terms.append(f"GREATEST({maxes})")
+    score = terms[0]
+    for t in terms[1:]:
+        score = f"({score} + {t})"
+    return f"""
+WITH q AS (
+    SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings WHERE vec_id = {_MAXSIM_QUERY}
+),
+scored AS (
+    SELECT c.vec_id, {sql_micro(score)} AS maxsim_ppm
+    FROM (SELECT vec_id, embedding AS e FROM embeddings
+          WHERE vec_id <> {_MAXSIM_QUERY}) c
+    CROSS JOIN q
+)
+SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY maxsim_ppm DESC, vec_id ASC) AS rank,
+           vec_id, maxsim_ppm
+    FROM scored
+) WHERE rank <= {_MAXSIM_TOP}
+"""
+
+
+register(
+    QuerySpec(
+        "maxsim_rerank",
+        q_maxsim_rerank,
+        _maxsim_sql(),
+        "TD-ann,ANN-maxsim",
+        False,
+        "ColBERT-style MaxSim rerank: literal query subvectors, codegen zip_with folds, heap top-20",
+    )
+)

@@ -212,7 +212,7 @@ SUITES: dict[str, list[str]] = {
         # round-3c selection additions (queries/selection.py)
         "cluster_representatives", "shard_manifest",
         # round-4 fold-in (VERDICT r3 #4): the J7 dissolve driver signal
-        "spatial_dissolve", "incremental_dedup", "zorder_cluster",
+        "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

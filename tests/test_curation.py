@@ -126,3 +126,30 @@ def test_incremental_dedup_planted_statuses(spark, tmp_path):
         9: "near_dup",    # one-word variant of index doc 5
         13: "batch_dup",  # copy of EARLIER batch doc 8
     }
+
+
+def test_maxsim_dominates_diagonal_alignment(spark):
+    """ANN-maxsim semantics: for every returned document, the MaxSim
+    score (each query subvector free to match its BEST document
+    subvector) must dominate the forced diagonal alignment
+    sum_i dot(q_i, d_i) — recomputed independently with numpy — and the
+    ranking must be descending with ranks 1..20."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        (r["rank"], r["vec_id"], r["maxsim_ppm"])
+        for r in load_all()["maxsim_rerank"].build(spark, sf).collect()
+    )
+    assert [r[0] for r in rows] == list(range(1, 21))
+    scores = [r[2] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").set_index("vec_id")["embedding"]
+    q = np.asarray(emb.loc[0], dtype=np.float64).reshape(4, 16)
+    for _, vid, ppm in rows:
+        d = np.asarray(emb.loc[vid], dtype=np.float64).reshape(4, 16)
+        diag = sum(float(q[i] @ d[i]) for i in range(4))
+        assert ppm >= round(diag * 1e6) - 1  # quantization slack
