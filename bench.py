@@ -33,7 +33,8 @@ BENCH2 = [
     "cluster_representatives", "shard_manifest",
     # round-4: J7 dissolve driver signal (queries/spatialx.py) +
     # incremental crawl-vs-index dedup (queries/increment.py)
-    "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank",
+    "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank", "bitext_margin", "bpe_merges",
+    "stream_tumbling_exec",
 ]
 
 

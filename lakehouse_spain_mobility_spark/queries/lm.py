@@ -257,3 +257,119 @@ register(
         "DSIR importance weights: unigram likelihood ratio target-vs-raw, top-20 target-like docs",
     )
 )
+
+
+# --- BPE merge discovery (tokenizer prep) ------------------------------------
+# Public method (Sennrich et al. 2016): repeatedly merge the most
+# frequent adjacent symbol pair over the frequency-weighted word
+# vocabulary. Two driver-side iterations (the k-means/A5 scalar pattern:
+# the argmax RULE is one collected row per round; the corpus-sized state
+# stays distributed). Symbol sequences ride as space-joined strings, so
+# applying a merge is one native replace('a b' -> 'ab') — greedy
+# left-to-right on both engines, the standard BPE trick. Pair counting
+# is the perplexity-filter zip-slice shape over the VOCABULARY (Zipf-
+# bounded, not the corpus), weighted by word frequency. At 100 TB the
+# word-count table is the only corpus-sized aggregation; every round
+# after that runs on |vocab| rows.
+
+_BPE_ROUNDS = 2
+
+
+def _bpe_pairs(vocab: DataFrame) -> DataFrame:
+    syms = F.split(F.col("s"), " ")
+    pairs = F.when(
+        F.size(syms) >= 2,
+        F.arrays_zip(
+            F.slice(syms, F.lit(1), F.size(syms) - 1),
+            F.slice(syms, F.lit(2), F.size(syms) - 1),
+        ),
+    )
+    return (
+        vocab.select("n", F.explode(pairs).alias("pr"))
+        .select("n", F.col("pr")["0"].alias("a"), F.col("pr")["1"].alias("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    # char-spaced symbol string: "the" -> "t h e"
+    vocab = words.select(
+        F.trim(F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("s"), "n"
+    ).localCheckpoint(eager=False)  # re-consumed once per merge round
+    rules = []
+    for it in range(1, _BPE_ROUNDS + 1):
+        top = (
+            _bpe_pairs(vocab)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        rules.append((it, top["a"], top["b"], int(top["cnt"])))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f"{top['a']} {top['b']}"), F.lit(top["a"] + top["b"])
+            ).alias("s"),
+            "n",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        rules, "iter int, a string, b string, pair_count bigint"
+    )
+
+
+def _bpe_sql() -> str:
+    # each round: argmax pair as a scalar-subquery CTE, then replace()
+    word_cte = """
+words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents
+    ) WHERE w <> '' GROUP BY w
+),
+v0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, n FROM words)"""
+
+    def pairs(v: str, name: str) -> str:
+        return f"""
+{name} AS (
+    SELECT sy[i] AS a, sy[i + 1] AS b, SUM(n) AS cnt FROM (
+        SELECT string_split(s, ' ') AS sy, n,
+               unnest(generate_series(1, len(string_split(s, ' ')) - 1)) AS i
+        FROM {v}
+    ) GROUP BY 1, 2
+),
+{name}_top AS (
+    SELECT a, b, cnt FROM {name} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)"""
+
+    return f"""
+WITH {word_cte},
+{pairs('v0', 'p1')},
+v1 AS (
+    SELECT replace(s, (SELECT a || ' ' || b FROM p1_top),
+                      (SELECT a || b FROM p1_top)) AS s, n
+    FROM v0
+),
+{pairs('v1', 'p2')}
+SELECT CAST(1 AS INTEGER) AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM p1_top
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS iter, a, b, CAST(cnt AS BIGINT) AS pair_count FROM p2_top
+"""
+
+
+register(
+    QuerySpec(
+        "bpe_merges",
+        q_bpe_merges,
+        _bpe_sql(),
+        "TXT-bpe",
+        False,
+        "BPE merge discovery: 2 argmax-merge rounds over the weighted vocabulary, native replace applies rules",
+    )
+)

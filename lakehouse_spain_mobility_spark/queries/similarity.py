@@ -417,3 +417,109 @@ register(
         "ColBERT-style MaxSim rerank: literal query subvectors, codegen zip_with folds, heap top-20",
     )
 )
+
+
+# --- margin-based bitext mining (CCMatrix / Artetxe-Schwenk) -----------------
+# Public method: candidate translation pairs are scored by the RATIO
+# margin cos(x,y) / ((avgcos_k(x) + avgcos_k(y)) / 2) — a pair counts
+# only if it beats both sides' kNN neighborhoods, which kills hub vectors
+# that plain cosine thresholds admit. Label 0 plays the source language,
+# label 1 the target; at sf the candidate set is the full A×B grid
+# (A broadcasts — it is the query-sample side); at web scale candidate
+# generation is the existing LSH/Hamming machinery (operators/similarity,
+# queries/webcur.py) and this margin pass runs unchanged on candidates.
+# Engine parity: cosines are ppm-quantized BEFORE ranking/averaging, so
+# neighborhood sums are exact integers and the closing ratio divides
+# identical exact operands on both engines.
+
+_BT_SRC = 0
+_BT_TGT = 1
+_BT_K = 4
+
+
+def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors(spark, sf_dir)
+    a = v.filter(F.col("label") == _BT_SRC).select(
+        F.col("id").alias("src_id"), F.col("embedding").alias("src_emb")
+    )
+    b = v.filter(F.col("label") == _BT_TGT).select(
+        F.col("id").alias("tgt_id"), F.col("embedding").alias("tgt_emb")
+    )
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "src_id",
+            "tgt_id",
+            micro(sim.cosine(F.col("src_emb"), F.col("tgt_emb"))).alias("cos_ppm"),
+        )
+        .localCheckpoint(eager=False)  # three consumers: two kNN means + pairs
+    )
+    w_src = Window.partitionBy("src_id").orderBy(F.desc("cos_ppm"), F.asc("tgt_id"))
+    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cos_ppm"), F.asc("src_id"))
+    ns = (
+        scored.withColumn("r", F.row_number().over(w_src))
+        .filter(F.col("r") <= _BT_K)
+        .groupBy("src_id")
+        .agg(F.sum("cos_ppm").alias("sum_s"))
+    )
+    nt = (
+        scored.withColumn("r", F.row_number().over(w_tgt))
+        .filter(F.col("r") <= _BT_K)
+        .groupBy("tgt_id")
+        .agg(F.sum("cos_ppm").alias("sum_t"))
+    )
+    best = scored.withColumn("r", F.row_number().over(w_src)).filter(F.col("r") == 1)
+    denom = (
+        F.col("sum_s").cast("double") / F.lit(float(_BT_K))
+        + F.col("sum_t").cast("double") / F.lit(float(_BT_K))
+    ) / F.lit(2.0)
+    out = (
+        best.join(F.broadcast(ns), "src_id")
+        .join(F.broadcast(nt), "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_ppm",
+            micro(F.col("cos_ppm").cast("double") / denom).alias("margin_ppm"),
+        )
+    )
+    return out.filter(F.col("margin_ppm") > 1000000)
+
+
+def _bitext_sql() -> str:
+    return f"""
+WITH a AS (SELECT vec_id AS src_id, embedding AS src_emb FROM embeddings WHERE label = {_BT_SRC}),
+b AS (SELECT vec_id AS tgt_id, embedding AS tgt_emb FROM embeddings WHERE label = {_BT_TGT}),
+scored AS (
+    SELECT src_id, tgt_id,
+           {sql_micro(sim.sql_cosine('src_emb', 'tgt_emb'))} AS cos_ppm
+    FROM b CROSS JOIN a
+),
+rs AS (
+    SELECT src_id, tgt_id, cos_ppm,
+           ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_ppm DESC, tgt_id ASC) AS r_src,
+           ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_ppm DESC, src_id ASC) AS r_tgt
+    FROM scored
+),
+ns AS (SELECT src_id, SUM(cos_ppm) AS sum_s FROM rs WHERE r_src <= {_BT_K} GROUP BY src_id),
+nt AS (SELECT tgt_id, SUM(cos_ppm) AS sum_t FROM rs WHERE r_tgt <= {_BT_K} GROUP BY tgt_id)
+SELECT rs.src_id, rs.tgt_id, rs.cos_ppm,
+       {sql_micro('CAST(rs.cos_ppm AS DOUBLE) / ((CAST(ns.sum_s AS DOUBLE) / ' + str(float(_BT_K)) + ' + CAST(nt.sum_t AS DOUBLE) / ' + str(float(_BT_K)) + ') / 2.0)')} AS margin_ppm
+FROM rs
+JOIN ns ON rs.src_id = ns.src_id
+JOIN nt ON rs.tgt_id = nt.tgt_id
+WHERE rs.r_src = 1
+  AND {sql_micro('CAST(rs.cos_ppm AS DOUBLE) / ((CAST(ns.sum_s AS DOUBLE) / ' + str(float(_BT_K)) + ' + CAST(nt.sum_t AS DOUBLE) / ' + str(float(_BT_K)) + ') / 2.0)')} > 1000000
+"""
+
+
+register(
+    QuerySpec(
+        "bitext_margin",
+        q_bitext_margin,
+        _bitext_sql(),
+        "TD-bitext,ANN",
+        False,
+        "Margin-based bitext mining: ratio margin over ppm-quantized cosines, best pair per source",
+    )
+)

@@ -1,0 +1,93 @@
+"""Driver-checkable Structured Streaming EXECUTION (§2.10 hard signal).
+
+``tumbling_window`` proves the windowed-aggregation SEMANTICS batch-side;
+this query runs the actual streaming engine end to end inside the driver
+contract: ``readStream`` over the events parquet → watermark-free
+complete-mode tumbling aggregation through the real StateStore →
+``availableNow`` trigger → memory sink — and the DuckDB oracle checks the
+final materialized state against the batch SQL. A bounded file source
+with ``availableNow`` is exactly how Spark replays history into a
+streaming pipeline, so equality with the batch aggregation is the
+exactly-once replay contract (streaming/incremental.py holds the
+continuous forms: watermarks, append mode, foreachBatch upserts).
+
+Engine parity: the aggregation reuses the deterministic fixed-point sum,
+so state-merge order (which the streaming engine controls) cannot change
+a byte; window starts are emitted as formatted strings (the
+tumbling_window timezone convention).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.deterministic import sql_dsum, xdsum
+from . import QuerySpec, register
+
+
+def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        # FileStreamSource only accepts directories; a single-file table
+        # streams from its parent dir with a glob pinned to the one file
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    win = F.window(F.col("ts"), "6 hours")
+    agg = src.groupBy(win.alias("w"), F.col("event_type")).agg(
+        F.count("*").alias("n_events"), xdsum("value").alias("total_value")
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+_SQL = f"""
+SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+register(
+    QuerySpec(
+        "stream_tumbling_exec",
+        q_stream_tumbling_exec,
+        _SQL,
+        "§2.10-exec",
+        False,
+        "REAL Structured Streaming run: availableNow replay through the StateStore vs the batch oracle",
+    )
+)

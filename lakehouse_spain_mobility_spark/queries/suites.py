@@ -61,6 +61,7 @@ from . import nested  # noqa: F401,E402
 from . import webcur  # noqa: F401,E402
 from . import selection  # noqa: F401,E402
 from . import increment  # noqa: F401,E402
+from . import streamx  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -212,7 +213,7 @@ SUITES: dict[str, list[str]] = {
         # round-3c selection additions (queries/selection.py)
         "cluster_representatives", "shard_manifest",
         # round-4 fold-in (VERDICT r3 #4): the J7 dissolve driver signal
-        "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank",
+        "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank", "bitext_margin", "bpe_merges", "stream_tumbling_exec",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

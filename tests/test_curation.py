@@ -153,3 +153,72 @@ def test_maxsim_dominates_diagonal_alignment(spark):
         d = np.asarray(emb.loc[vid], dtype=np.float64).reshape(4, 16)
         diag = sum(float(q[i] @ d[i]) for i in range(4))
         assert ppm >= round(diag * 1e6) - 1  # quantization slack
+
+
+def test_bitext_margin_pairs_are_true_best_and_margin_dominant(spark):
+    """TD-bitext semantics: every returned (src, tgt) pair must be the
+    TRUE cosine argmax over the whole target side (verified with numpy),
+    and its ratio margin must exceed 1 (the pair beats the mean of both
+    sides' top-4 neighborhoods)."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = load_all()["bitext_margin"].build(spark, sf).collect()
+    assert rows
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    A = emb[emb.label == 0].set_index("vec_id")["embedding"]
+    B = emb[emb.label == 1].set_index("vec_id")["embedding"]
+    Bm = np.stack([np.asarray(v, dtype=np.float64) for v in B])
+    Bn = Bm / np.linalg.norm(Bm, axis=1, keepdims=True)
+    b_ids = np.asarray(B.index)
+    for r in rows:
+        q = np.asarray(A.loc[r["src_id"]], dtype=np.float64)
+        cos = Bn @ (q / np.linalg.norm(q))
+        # argmax with the query's ppm quantization + tgt_id tie-break
+        ppm = np.round(cos * 1e6).astype(np.int64)
+        order = sorted(zip(-ppm, b_ids))
+        assert order[0][1] == r["tgt_id"], (r["src_id"], order[0], r["tgt_id"])
+        assert r["margin_ppm"] > 1_000_000
+
+
+def test_bpe_first_merge_is_true_argmax_pair(spark):
+    """TXT-bpe semantics: round-1's merge rule must be the genuinely most
+    frequent adjacent character pair over the frequency-weighted word
+    vocabulary — recomputed independently in pandas — and round 2 must
+    report a pair from the POST-merge symbol space with a positive count."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["iter"]: r for r in load_all()["bpe_merges"].build(spark, sf).collect()}
+    assert set(rows) == {1, 2}
+    docs = pd.read_parquet(f"{sf}/documents.parquet")["text"]
+    wc = Counter()
+    for t in docs:
+        for w in re.split(r"[^a-z]+", t.lower()):
+            if w:
+                wc[w] += 1
+    pc = Counter()
+    for w, n in wc.items():
+        for a, b in zip(w, w[1:]):
+            pc[(a, b)] += n
+    best = max(pc.items(), key=lambda kv: (kv[1], *map(lambda c: -ord(c), "".join(kv[0]))))
+    # tie-break: max count, then lexicographically smallest (a, b)
+    top_cnt = max(pc.values())
+    cands = sorted(k for k, v in pc.items() if v == top_cnt)
+    assert (rows[1]["a"], rows[1]["b"]) == cands[0]
+    assert rows[1]["pair_count"] == top_cnt
+    assert rows[2]["pair_count"] > 0
+    merged1 = rows[1]["a"] + rows[1]["b"]
+    assert (rows[2]["a"], rows[2]["b"]) != (rows[1]["a"], rows[1]["b"])
+    # round-2 symbols live in the post-merge space: each side is either a
+    # single char or the round-1 merged symbol
+    for side in (rows[2]["a"], rows[2]["b"]):
+        assert len(side) == 1 or side == merged1

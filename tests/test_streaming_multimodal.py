@@ -253,3 +253,17 @@ def test_stream_audited_snapshot_publish(spark, tmp_path):
         raised = True
     assert raised
     assert snapshot_read(wh, "event_summary").count() == 5  # still v0
+
+
+def test_stream_tumbling_exec_equals_batch_form(spark):
+    """§2.10 replay contract: the REAL streaming run (availableNow through
+    the StateStore, memory sink) must reproduce the batch tumbling
+    aggregation byte for byte — the deterministic fixed-point sum makes
+    state-merge order irrelevant."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    stream = sorted(map(tuple, reg["stream_tumbling_exec"].build(spark, sf).collect()))
+    batch = sorted(map(tuple, reg["tumbling_window"].build(spark, sf).collect()))
+    assert stream == batch and len(stream) > 0
