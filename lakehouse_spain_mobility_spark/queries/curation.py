@@ -386,7 +386,14 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal (A5 pattern); the oracle recomputes it with a scalar subquery
     — integer equality is exact, so the twins agree by construction."""
     d = load(spark, sf_dir, "documents")
-    max_plus1 = d.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_id = d.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:  # cold partition: empty profile, no crash
+        return spark.createDataFrame(
+            [],
+            "decile bigint, n_tokens bigint, new_types bigint, "
+            "cum_types bigint, cum_tokens bigint",
+        )
+    max_plus1 = max_id + 1
     tokens = (
         d.select(
             "doc_id",

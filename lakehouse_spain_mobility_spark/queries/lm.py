@@ -306,12 +306,15 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)  # re-consumed once per merge round
     rules = []
     for it in range(1, _BPE_ROUNDS + 1):
-        top = (
+        tops = (
             _bpe_pairs(vocab)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not tops:  # cold partition / exhausted pairs: stop merging
+            break
+        top = tops[0]
         rules.append((it, top["a"], top["b"], int(top["cnt"])))
         vocab = vocab.select(
             F.replace(

@@ -58,10 +58,12 @@ def q_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = load(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == _QUERY_ID).select("embedding").first()[0]
-    )
-    qvec = np.asarray(qvec, dtype=np.float64)
+    qrow = e.filter(F.col("vec_id") == _QUERY_ID).select("embedding").first()
+    if qrow is None:  # cold partition: no query vector -> no result, no crash
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, adc_ppm bigint, exact_ppm bigint"
+        )
+    qvec = np.asarray(qrow[0], dtype=np.float64)
 
     codes = None
     luts: list[list[float]] = []

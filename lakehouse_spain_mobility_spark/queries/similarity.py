@@ -350,7 +350,12 @@ def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.topk import global_topk
 
     e = load(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == _MAXSIM_QUERY).select("embedding").first()[0]
+    qrow = e.filter(F.col("vec_id") == _MAXSIM_QUERY).select("embedding").first()
+    if qrow is None:  # cold partition: no query vector -> no result, no crash
+        return spark.createDataFrame(
+            [], "rank int, vec_id bigint, maxsim_ppm bigint"
+        )
+    qvec = qrow[0]
     q_subs = [
         F.lit([float(x) for x in qvec[s * _MAXSIM_SUB : (s + 1) * _MAXSIM_SUB]])
         for s in range(_MAXSIM_M)

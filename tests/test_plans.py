@@ -285,7 +285,7 @@ import pytest
 @pytest.mark.parametrize(
     "name",
     ["pq_adc_search", "bm25_search", "perplexity_filter", "dsir_weights",
-     "pmi_bigrams", "tpch_q2"],
+     "pmi_bigrams", "tpch_q2", "maxsim_rerank"],
 )
 def test_global_topk_is_heap_not_world_sort(spark, name):
     """SCALE.md:16 contract (VERDICT r3 #1): global top-k must plan as

@@ -174,6 +174,10 @@ def test_queries_survive_empty_tables(spark, tmp_path):
     for name in [
         "tpch_q1", "tpch_q5", "window_battery", "token_stats",
         "dedup_minhash_lsh", "dedup_clusters", "typical_day", "event_funnel",
+        # round-4 additions, incl. the driver-collect query-vector /
+        # argmax-rule patterns that must degrade to empty, not crash
+        "incremental_dedup", "maxsim_rerank", "bitext_margin", "bpe_merges",
+        "zorder_cluster", "spatial_dissolve", "pq_adc_search", "vocab_growth",
     ]:
         rows = reg[name].build(spark, empty_dir).collect()  # must not raise
         assert isinstance(rows, list)
