@@ -51,7 +51,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band table for the WHOLE corpus in one pass, split by key after
     bands = dd.lsh_bands(
         dd.minhash_signatures(dd.shingles(d, "doc_id", "text"))
-    ).localCheckpoint(eager=False)  # consumed by three joins below
+    ).localCheckpoint(eager=True)  # consumed by three joins below; EAGER
+    # because those surface as concurrent AQE broadcast stages and a lazy
+    # local checkpoint materialized from two threads races in the block
+    # manager (cf. the bitext_margin sf3 finding)
     idx_b = bands.filter((F.col("doc_id") % _MOD) < _BATCH_MIN).select(
         "band_idx", "band_val"
     ).distinct()

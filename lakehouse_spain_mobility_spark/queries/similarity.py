@@ -444,28 +444,61 @@ _BT_K = 4
 
 def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
+    # Norms precomputed per VECTOR (|A|+|B| sqrt-folds, not |A|·|B|) and
+    # the per-pair dot is the UNROLLED left-associated chain — bit-equal
+    # to the interpreted fold but whole-stage-codegen'd (the interpreted
+    # higher-order form cost 82 s on the sf1 230k-pair grid; unrolled +
+    # precomputed norms ≈ the knn_bruteforce recipe).
     a = v.filter(F.col("label") == _BT_SRC).select(
-        F.col("id").alias("src_id"), F.col("embedding").alias("src_emb")
+        F.col("id").alias("src_id"),
+        F.col("embedding").alias("src_emb"),
+        sim.norm2_unrolled(F.col("embedding"), 64).alias("src_n"),
     )
     b = v.filter(F.col("label") == _BT_TGT).select(
-        F.col("id").alias("tgt_id"), F.col("embedding").alias("tgt_emb")
+        F.col("id").alias("tgt_id"),
+        F.col("embedding").alias("tgt_emb"),
+        sim.norm2_unrolled(F.col("embedding"), 64).alias("tgt_n"),
     )
+    # No checkpoint here, deliberately: the codegen'd scoring pass is
+    # ~2 s/eval at sf1 while CHECKPOINTING the 3.6M-row grid cost 94 s
+    # (single-partition materialization + per-row copies) — recomputing
+    # the cheap subtree for each of the three consumers is the right
+    # trade, and it also sidesteps the lazy-checkpoint block-manager race
+    # concurrent AQE stages trigger. The repartition spreads the few-file
+    # parquet scan so the cross join scores on every core.
     scored = (
-        b.crossJoin(F.broadcast(a))
+        b.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(a))
         .select(
             "src_id",
             "tgt_id",
-            micro(sim.cosine(F.col("src_emb"), F.col("tgt_emb"))).alias("cos_ppm"),
+            micro(
+                sim.dot_unrolled(F.col("src_emb"), F.col("tgt_emb"), 64)
+                / (F.col("src_n") * F.col("tgt_n"))
+            ).alias("cos_ppm"),
         )
-        .localCheckpoint(eager=False)  # three consumers: two kNN means + pairs
     )
+    # TWO evaluations of the scoring pass, not three: the src-side top-4
+    # frame yields BOTH the neighborhood sum and the rank-1 pair in one
+    # aggregation (min over (r, tgt, cos) — r is unique per src), so the
+    # whole query is two exchanges of the pair grid (src-ranked,
+    # tgt-ranked), each sorted once.
     w_src = Window.partitionBy("src_id").orderBy(F.desc("cos_ppm"), F.asc("tgt_id"))
     w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cos_ppm"), F.asc("src_id"))
-    ns = (
+    per_src = (
         scored.withColumn("r", F.row_number().over(w_src))
         .filter(F.col("r") <= _BT_K)
         .groupBy("src_id")
-        .agg(F.sum("cos_ppm").alias("sum_s"))
+        .agg(
+            F.sum("cos_ppm").alias("sum_s"),
+            F.min(F.struct("r", "tgt_id", "cos_ppm")).alias("b"),
+        )
+        .select(
+            "src_id",
+            "sum_s",
+            F.col("b.tgt_id").alias("tgt_id"),
+            F.col("b.cos_ppm").alias("cos_ppm"),
+        )
     )
     nt = (
         scored.withColumn("r", F.row_number().over(w_tgt))
@@ -473,20 +506,15 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tgt_id")
         .agg(F.sum("cos_ppm").alias("sum_t"))
     )
-    best = scored.withColumn("r", F.row_number().over(w_src)).filter(F.col("r") == 1)
     denom = (
         F.col("sum_s").cast("double") / F.lit(float(_BT_K))
         + F.col("sum_t").cast("double") / F.lit(float(_BT_K))
     ) / F.lit(2.0)
-    out = (
-        best.join(F.broadcast(ns), "src_id")
-        .join(F.broadcast(nt), "tgt_id")
-        .select(
-            "src_id",
-            "tgt_id",
-            "cos_ppm",
-            micro(F.col("cos_ppm").cast("double") / denom).alias("margin_ppm"),
-        )
+    out = per_src.join(F.broadcast(nt), "tgt_id").select(
+        "src_id",
+        "tgt_id",
+        "cos_ppm",
+        micro(F.col("cos_ppm").cast("double") / denom).alias("margin_ppm"),
     )
     return out.filter(F.col("margin_ppm") > 1000000)
 

@@ -140,7 +140,14 @@ def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
             x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
         ).alias("geometry"),
-    ).localCheckpoint(eager=False)  # two consumers: dissolve + extent agg
+    ).repartition(
+        spark.sparkContext.defaultParallelism
+        # the WKT rows inherit the (few-file) customer scan's partitioning;
+        # spreading them first gives the four pandas-UDF kernel passes full
+        # core parallelism (sf1: 10.4 s -> per-kernel cost / n_cores)
+    ).localCheckpoint(eager=True)  # two consumers: dissolve + extent agg
+    # (eager: concurrent AQE stages + lazy local checkpoint race, cf.
+    # bitext_margin)
     cent = dissolve_centroids(parts, ["grp"])  # the J7 operator itself
     ext = (
         parts.withColumn("a", st_area(F.col("geometry")))

@@ -33,6 +33,9 @@ QUERIES = [
     "pq_adc_search", "bm25_search", "perplexity_filter",
     "dsir_weights", "pmi_bigrams",               # global-topk rewrites r4
     "line_dedup", "diversity_prune",             # skew-fallback rewrites r4
+    # round-4 new operators: scale-measured from birth
+    "incremental_dedup", "maxsim_rerank", "bitext_margin", "bpe_merges",
+    "stream_tumbling_exec", "spatial_dissolve", "zorder_cluster",
 ]
 
 
