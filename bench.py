@@ -35,6 +35,10 @@ BENCH2 = [
     # incremental crawl-vs-index dedup (queries/increment.py)
     "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank", "bitext_margin", "bpe_merges",
     "stream_tumbling_exec",
+    # round-4b sketch/set-join/fusion operators (queries/sketches.py,
+    # queries/setjoin.py)
+    "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
+    "kmv_distinct", "kn_bigram_lm",
 ]
 
 

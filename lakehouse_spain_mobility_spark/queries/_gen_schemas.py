@@ -30,7 +30,7 @@ def regenerate() -> pathlib.Path:
         advanced, battery, bloom, core, curation, dedup, extra, funnel,
         graphrank, gravity, lm, mlprep, multimodal, nested, pq, relational,
         scd, search, spatialx, similarity, storage, text, timeseries, tpch,
-        selection, webcur, increment, streamx,
+        selection, webcur, increment, streamx, sketches, setjoin,
     )
     from .tables import TABLE_NAMES
 

@@ -376,3 +376,122 @@ register(
         "BPE merge discovery: 2 argmax-merge rounds over the weighted vocabulary, native replace applies rules",
     )
 )
+
+
+# --- Kneser-Ney smoothed bigram model ----------------------------------------
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25)
+# is the standard n-gram smoother an LM-data pipeline fits when auditing a
+# corpus: unlike add-one (q_perplexity_filter's model), its backoff weight
+# for a word is its CONTINUATION count (how many distinct histories it
+# follows), not its raw frequency — the "San Francisco" effect. Everything
+# below is integer counting until one final float expression evaluated from
+# exact integers in identical text on both engines:
+#
+#   P_kn(w|u) = max(c(u,w) - D, 0)/c(u) + D * N1+(u,*)/c(u) * P_cont(w)
+#   P_cont(w) = N1+(*,w) / N1+(*,*)            with discount D = 0.75
+#
+# At 100 TB: bigram extraction is the same narrow zip-shift codegen as
+# q_perplexity_filter; the model is three hash aggregations over the bigram
+# relation (c_uw; per-history rollups; per-word continuation counts) — all
+# map-side combinable, Zipf-bounded outputs; the scalar N1+(*,*) broadcasts.
+
+_KN_D = 0.75
+_KN_TOPK = 20
+
+
+def _kn_ppm() -> str:
+    """P_kn in micro-units from (c_uw, c_u, n_follow, n_prec, n_types) —
+    identical expression text on both engines; every input is an exact
+    BIGINT so each division is a single correctly-rounded IEEE op."""
+    disc = f"GREATEST(CAST(c_uw AS DOUBLE) - {_KN_D}, 0e0) / CAST(c_u AS DOUBLE)"
+    lam = f"{_KN_D} * CAST(n_follow AS DOUBLE) / CAST(c_u AS DOUBLE)"
+    pcont = "CAST(n_prec AS DOUBLE) / CAST(n_types AS DOUBLE)"
+    return f"CAST(ROUND((({disc}) + ({lam}) * ({pcont})) * 1000000.0) AS BIGINT)"
+
+
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    warr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = d.select("doc_id", F.explode(F.array(warr)).alias("wa"))
+    pairs = F.when(
+        F.size("wa") >= 2,
+        F.arrays_zip(
+            F.slice("wa", 1, F.size("wa") - 1),
+            F.slice("wa", 2, F.size("wa") - 1),
+        ),
+    )
+    bigrams = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.0").alias("u"), F.col("p.1").alias("w")
+    )
+    c_uw = bigrams.groupBy("u", "w").agg(F.count("*").alias("c_uw"))
+    hist = c_uw.groupBy("u").agg(
+        F.sum("c_uw").cast("bigint").alias("c_u"),
+        F.count("*").alias("n_follow"),
+    )
+    cont = c_uw.groupBy("w").agg(F.count("*").alias("n_prec"))
+    types = c_uw.agg(F.count("*").alias("n_types"))
+    scored = (
+        c_uw.join(hist, "u")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(types))
+    )
+    top = global_topk(
+        scored, _KN_TOPK, [F.desc("c_uw"), F.asc("u"), F.asc("w")]
+    )
+    return top.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "u",
+        "w",
+        "c_uw",
+        "c_u",
+        F.col("n_follow").cast("bigint").alias("n_follow"),
+        F.col("n_prec").cast("bigint").alias("n_prec"),
+        F.expr(_kn_ppm()).alias("pkn_ppm"),
+    )
+
+
+def _kn_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS wa
+  FROM documents
+),
+bigrams AS (
+  SELECT wa[i] AS u, wa[i + 1] AS w
+  FROM (SELECT wa, unnest(range(1, len(wa))) AS i FROM toks WHERE len(wa) >= 2)
+),
+c_uw AS (
+  SELECT u, w, COUNT(*) AS c_uw FROM bigrams GROUP BY u, w
+),
+hist AS (
+  SELECT u, CAST(SUM(c_uw) AS BIGINT) AS c_u, COUNT(*) AS n_follow
+  FROM c_uw GROUP BY u
+),
+cont AS (SELECT w, COUNT(*) AS n_prec FROM c_uw GROUP BY w),
+types AS (SELECT COUNT(*) AS n_types FROM c_uw),
+scored AS (
+  SELECT b.u, b.w, b.c_uw, h.c_u, h.n_follow, c.n_prec, t.n_types
+  FROM c_uw b JOIN hist h ON b.u = h.u JOIN cont c ON b.w = c.w
+  CROSS JOIN types t
+)
+SELECT CAST(rank AS BIGINT) AS rank, u, w, c_uw, c_u,
+       CAST(n_follow AS BIGINT) AS n_follow,
+       CAST(n_prec AS BIGINT) AS n_prec,
+       {_kn_ppm()} AS pkn_ppm
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_uw DESC, u ASC, w ASC) AS rank, *
+  FROM scored
+) WHERE rank <= {_KN_TOPK}
+"""
+
+
+register(
+    QuerySpec(
+        "kn_bigram_lm",
+        q_kn_bigram_lm,
+        _kn_sql(),
+        "TXT-kn,TXT-ppl",
+        False,
+        "Interpolated Kneser-Ney bigram probabilities (D=0.75, continuation counts) for the top-20 bigrams",
+    )
+)

@@ -1,0 +1,160 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-lite).
+
+The dedup family's LSH operators (``queries/dedup.py``) trade recall for
+scale; prefix filtering (Chaudhuri et al., ICDE 2006; Xiao et al. "PPJoin",
+WWW 2008) is the EXACT alternative: order every document's token set by
+ascending global document frequency, keep only the first ``|set| -
+ceil(t*|set|) + 1`` tokens (the *prefix*), and join documents on shared
+prefix tokens — any pair with Jaccard >= t MUST share a prefix token, so
+the candidate set has perfect recall, and candidates are generated from the
+RAREST tokens (df-ascending order), so no candidate explosion on stopwords.
+A length filter (``least(n_a,n_b)*DEN >= NUM*greatest(n_a,n_b)``) prunes
+further before exact verification.
+
+Everything is engine-portable integer arithmetic: the Jaccard threshold
+test is cross-multiplied (``DEN*inter >= NUM*(n_a+n_b-inter)`` for t =
+NUM/DEN), so no float ever decides membership; only the reported
+``jacc_ppm`` is a (deterministic, exact-integer-input) double division
+rounded to micro-units.
+
+At 100 TB: the df table is a token-level aggregate (Zipf-bounded,
+broadcastable); the per-document rank window partitions by doc_id (bounded
+by document length, never global); the candidate join shuffles prefix
+postings on token — postings lists are short by construction since prefix
+tokens are globally rare; verification joins are bounded by the candidate
+count. This is the standard exact-join complement to MinHash in a curation
+pipeline (run LSH for recall screening, prefix-join where exactness is
+required). The reference has no set-similarity surface; cf.
+``queries/dedup.py`` for the probabilistic siblings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingles, sql_shingles
+from . import QuerySpec, register
+from .tables import load
+
+_T_NUM = 3  # Jaccard threshold t = 3/5 = 0.6, exact rational
+_T_DEN = 5
+
+
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # 3-gram word shingles (the dedup family's discriminative unit —
+    # unigram sets over a bounded vocabulary make every pair look similar).
+    toks = shingles(d, "doc_id", "text").select(
+        "doc_id", F.col("shingle").alias("term")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    # Canonical df-ascending order (ties by token text): the prefix holds
+    # each document's globally rarest tokens. Window partitions by doc_id —
+    # bounded by document length, never a global sort.
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("term"))
+    ranked = (
+        toks.join(F.broadcast(dfreq), "term")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "doc_id")
+    )
+    # prefix length = n - ceil(t*n) + 1
+    prefix_len = (
+        F.col("n")
+        - F.expr(f"CAST(CEIL({_T_NUM}.0 * n / {_T_DEN}.0) AS INT)")
+        + F.lit(1)
+    )
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "term", "n")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "term", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "term", F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.least("n_a", "n_b") * F.lit(_T_DEN)
+            >= F.lit(_T_NUM) * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("term").alias("t_a"))
+    tb = toks.select(F.col("doc_id").alias("db"), F.col("term").alias("t_b"))
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, (F.col("doc_b") == F.col("db")) & (F.col("t_a") == F.col("t_b")))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    verified = inter.filter(
+        F.col("inter") * F.lit(_T_DEN)
+        >= F.lit(_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.expr(
+            "CAST(ROUND(CAST(inter AS DOUBLE)"
+            " / CAST(n_a + n_b - inter AS DOUBLE) * 1000000.0) AS BIGINT)"
+        ).alias("jacc_ppm"),
+    )
+
+
+_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, shingle AS term FROM ({sql_shingles('documents', 'doc_id', 'text')})
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.term, s.n,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id ORDER BY f.df ASC, t.term ASC
+         ) AS pos
+  FROM toks t JOIN dfreq f ON t.term = f.term JOIN sizes s ON t.doc_id = s.doc_id
+),
+prefix AS (
+  SELECT doc_id, term, n FROM ranked
+  WHERE pos <= n - CAST(CEIL({_T_NUM}.0 * n / {_T_DEN}.0) AS INT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.n AS n_a, b.n AS n_b
+  FROM prefix a JOIN prefix b
+    ON a.term = b.term AND a.doc_id < b.doc_id
+  WHERE least(a.n, b.n) * {_T_DEN} >= {_T_NUM} * greatest(a.n, b.n)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.n_a, c.n_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(inter AS BIGINT) AS inter,
+       CAST(ROUND(CAST(inter AS DOUBLE)
+            / CAST(n_a + n_b - inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jacc_ppm
+FROM inter
+WHERE inter * {_T_DEN} >= {_T_NUM} * (n_a + n_b - inter)
+"""
+
+
+register(
+    QuerySpec(
+        "prefix_filter_join",
+        q_prefix_filter_join,
+        _SQL,
+        "SJ-prefix,TD-dedup",
+        False,
+        "Exact Jaccard>=0.6 set-similarity self-join via df-ordered prefix filtering (PPJoin-lite)",
+    )
+)

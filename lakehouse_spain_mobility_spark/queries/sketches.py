@@ -1,0 +1,542 @@
+"""Mergeable sketch operators: HyperLogLog distinct-count and Count-Min
+frequency estimation, plus reciprocal-rank fusion for hybrid retrieval.
+
+Streaming/OLAP engines ship sketch aggregates (HLL, CMS, theta) because at
+100 TB an exact COUNT(DISTINCT ...) over a high-cardinality key is a full
+shuffle of the key universe, while a sketch is a constant-size mergeable
+state per group that composes with partial aggregation. These operators
+implement the sketches from first principles over md5 (identical lowercase
+hex in Spark and DuckDB — the repo's standard determinism anchor) so the
+estimate itself is oracle-checkable bit-for-bit, which neither engine's
+built-in approx aggregates are (Spark HLL++ and DuckDB approx_count_distinct
+hash differently).
+
+- ``hll_distinct`` — classic Flajolet et al. HyperLogLog (m=64 registers,
+  8-bit bucket index folded to 6 bits, 48-bit rho stream): per
+  ``event_type``, the register table is a ``GROUP BY (type, bucket) MAX
+  (rho)`` — map-side combinable, constant state — and the harmonic-mean
+  estimate (with the small-range linear-counting branch) is evaluated from
+  EXACT integers: ``sum(2^(49-rho))`` is carried as a scaled BIGINT so no
+  float accumulation order can diverge between engines; the only
+  transcendental (``ln`` in linear counting) is absorbed by the repo's
+  ppm-quantization convention. Exact distinct counts ride along so the
+  result doubles as an accuracy contract.
+- ``cms_heavy_hitters`` — Count-Min sketch (Cormode & Muthukrishnan 2005):
+  d=4 salted md5 rows x w=512 buckets; the sketch build is one hash
+  aggregation over (salt, bucket) — 2048 cells regardless of vocabulary
+  size — and the estimate for each of the exact top-20 tokens is the MIN
+  over its 4 cells. Pure integer arithmetic end to end; the ``overcount``
+  column exposes the sketch's one-sided error for the accuracy contract.
+- ``rrf_fusion`` — reciprocal rank fusion (Cormack et al. 2009), the
+  standard hybrid-retrieval combiner: fuse the BM25 ranking
+  (``queries/search.py``) with an independent term-frequency ranking via
+  ``sum 1/(60+rank)`` over a full-outer rank join, and return the fused
+  top-10. The oracle nests the registered BM25 oracle verbatim, so the
+  fusion is parity-checked against exactly the ranking the driver already
+  verifies.
+
+At 100 TB: HLL registers are 64 rows per group (map-side partial MAX
+collapses each input partition to <= 64*groups rows before the exchange);
+the CMS is 2048 cells built in one narrow aggregation and broadcast to the
+probe side; RRF joins two k-row toplists. Nothing here scales with corpus
+size except the initial scans. The reference (a DuckDB mobility lakehouse)
+has no sketch surface; these extend the training-data/curation north star
+(cf. ``dags/gravity/calculate_gold.py:11-45`` for the scalar-broadcast
+pattern the estimates reuse).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.topk import global_topk
+from . import QuerySpec, register
+from .tables import load
+
+_HEX = "0123456789abcdef"
+
+# --- HyperLogLog ------------------------------------------------------------
+
+_HLL_M = 64  # registers
+_HLL_RHO_BITS = 48  # rho stream width (12 md5 hex chars)
+# alpha_64 * m^2 * 2^49, precomputed exactly once so both engines parse the
+# same decimal literal (alpha_64 = 0.709, Flajolet et al. 2007 Fig. 3).
+_HLL_NUM = repr(0.709 * _HLL_M * _HLL_M * float(2 ** 49))
+_POW49 = 2 ** 49
+
+
+def _hexval(h: str, pos: int) -> str:
+    """0-15 value of 1-based hex char ``pos`` — instr is 1-based in both
+    engines, so this string is dialect-neutral."""
+    return f"(instr('{_HEX}', substring({h}, {pos}, 1)) - 1)"
+
+
+def _hll_bucket(h: str) -> str:
+    """6-bit register index from md5 hex chars 1-2 (8 bits folded mod m)."""
+    return f"((({_hexval(h, 1)}) * 16 + ({_hexval(h, 2)})) % {_HLL_M})"
+
+
+def _hll_w(h: str) -> str:
+    """48-bit rho stream from md5 hex chars 3-14 as one BIGINT (the fold
+    seeds with an explicit BIGINT cast — Spark's instr returns INT and the
+    ANSI-mode 32-bit multiply overflows past 8 hex chars otherwise)."""
+    expr = f"CAST({_hexval(h, 3)} AS BIGINT)"
+    for pos in range(4, 15):
+        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
+    return expr
+
+
+def _hll_rho(h: str) -> str:
+    """Position of the first 1-bit of the 48-bit stream (1-based), 49 when
+    the stream is all zeros. bin() drops leading zeros and returns '0' for
+    zero in BOTH engines, so 49 - length(bin(w)) is the leading-zero count
+    + 1 without any float log."""
+    w = _hll_w(h)
+    return (
+        f"(CASE WHEN ({w}) = 0 THEN {_HLL_RHO_BITS + 1} "
+        f"ELSE {_HLL_RHO_BITS + 1} - length(bin(CAST({w} AS BIGINT))) END)"
+    )
+
+
+def _hll_estimate_ppm() -> str:
+    """Estimate in integer micro-units from (nb, s_present) — identical
+    expression text on both engines. s_present carries sum(2^(49-rho)) as
+    an exact integer; absent registers (rho=0) contribute 2^49 each, so the
+    harmonic sum is exact before the single double division."""
+    s_total = f"(s_present + ({_HLL_M} - nb) * {_POW49})"
+    e_raw = f"({_HLL_NUM} / CAST({s_total} AS DOUBLE))"
+    v = f"({_HLL_M} - nb)"
+    est = (
+        f"(CASE WHEN {e_raw} <= {2.5 * _HLL_M} AND {v} > 0 "
+        f"THEN {float(_HLL_M)} * ln({float(_HLL_M)} / CAST({v} AS DOUBLE)) "
+        f"ELSE {e_raw} END)"
+    )
+    return f"CAST(ROUND({est} * 1000000.0) AS BIGINT)"
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr("md5(cast(cast(user_id as string) as binary))").alias("h"),
+    )
+    rows = hashed.select(
+        "event_type",
+        F.expr(_hll_bucket("h")).alias("bucket"),
+        F.expr(_hll_rho("h")).alias("rho"),
+    )
+    # Register table: constant-size mergeable state (<= m rows per group
+    # survive the map-side partial MAX).
+    regs = rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"CAST(power(2.0, {_HLL_RHO_BITS + 1} - r) AS BIGINT)")).alias(
+            "s_present"
+        ),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(per, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("nb").cast("bigint").alias("registers_nonzero"),
+            F.expr(_hll_estimate_ppm()).alias("hll_estimate_ppm"),
+        )
+    )
+
+
+def _hll_sql() -> str:
+    return f"""
+WITH hashed AS (
+  SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+rows_ AS (
+  SELECT event_type, {_hll_bucket('h')} AS bucket, {_hll_rho('h')} AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rows_ GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, COUNT(*) AS nb,
+         CAST(SUM(CAST(power(2.0, {_HLL_RHO_BITS + 1} - r) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n_exact,
+       CAST(p.nb AS BIGINT) AS registers_nonzero,
+       {_hll_estimate_ppm()} AS hll_estimate_ppm
+FROM exact e JOIN per p USING (event_type)
+"""
+
+
+register(
+    QuerySpec(
+        "hll_distinct",
+        q_hll_distinct,
+        _hll_sql(),
+        "SK-hll,A1",
+        False,
+        "HyperLogLog distinct-user estimate per event_type (m=64, exact-integer harmonic sum) vs exact",
+    )
+)
+
+# --- Count-Min sketch heavy hitters -----------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 512  # buckets per row
+_CMS_TOPK = 20
+
+
+def _cms_bucket(salt: int, spark_dialect: bool) -> str:
+    """Bucket of ``term`` under salted hash row ``salt``: 16-bit value from
+    md5 hex chars 1-4 of 'salt:term', mod w."""
+    if spark_dialect:
+        h = f"md5(cast(concat('{salt}:', term) as binary))"
+    else:
+        h = f"md5('{salt}:' || term)"
+    expr = _hexval(h, 1)
+    for pos in range(2, 5):
+        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
+    return f"(({expr}) % {_CMS_W})"
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    # Sketch build: one narrow aggregation to 2048 cells. The per-salt
+    # bucket rows explode from the distinct-term counts (not raw
+    # occurrences) — same cell totals, |vocab| x d intermediate instead of
+    # |corpus| x d. explode(array(...)) is the repo's standard projection
+    # barrier so the md5 probes evaluate once per salt.
+    cells = counts.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        F.expr(_cms_bucket(s, True)).alias("bucket"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("cnt", F.col("sb.salt").alias("salt"), F.col("sb.bucket").alias("bucket"))
+    sketch = cells.groupBy("salt", "bucket").agg(
+        F.sum("cnt").cast("bigint").alias("c")
+    )
+    top = global_topk(counts, _CMS_TOPK, [F.desc("cnt"), F.asc("term")])
+    probes = top.select(
+        "rank",
+        "term",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("salt"),
+                        F.expr(_cms_bucket(s, True)).alias("bucket"),
+                    )
+                    for s in range(_CMS_D)
+                ]
+            )
+        ).alias("sb"),
+    ).select("rank", "term", "cnt", F.col("sb.salt").alias("salt"),
+             F.col("sb.bucket").alias("bucket"))
+    est = (
+        F.broadcast(probes)
+        .join(sketch, ["salt", "bucket"])
+        .groupBy("rank", "term", "cnt")
+        .agg(F.min("c").alias("cms_cnt"))
+    )
+    return est.select(
+        "rank",
+        "term",
+        F.col("cnt").alias("exact_cnt"),
+        "cms_cnt",
+        (F.col("cms_cnt") - F.col("cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+def _cms_sql() -> str:
+    cell_rows = "\n  UNION ALL ".join(
+        f"SELECT term, cnt, {s} AS salt, {_cms_bucket(s, False)} AS bucket FROM counts"
+        for s in range(_CMS_D)
+    )
+    probe_rows = "\n  UNION ALL ".join(
+        f"SELECT rank, term, cnt, {s} AS salt, {_cms_bucket(s, False)} AS bucket FROM top"
+        for s in range(_CMS_D)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT term, COUNT(*) AS cnt FROM toks WHERE term <> '' GROUP BY term
+),
+cells AS (
+  {cell_rows}
+),
+sketch AS (
+  SELECT salt, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+),
+top AS (
+  SELECT * FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank, term, cnt
+    FROM counts
+  ) WHERE rank <= {_CMS_TOPK}
+),
+probes AS (
+  {probe_rows}
+),
+est AS (
+  SELECT p.rank, p.term, p.cnt, MIN(s.c) AS cms_cnt
+  FROM probes p JOIN sketch s USING (salt, bucket)
+  GROUP BY 1, 2, 3
+)
+SELECT rank, term, cnt AS exact_cnt, cms_cnt,
+       CAST(cms_cnt - cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+register(
+    QuerySpec(
+        "cms_heavy_hitters",
+        q_cms_heavy_hitters,
+        _cms_sql(),
+        "SK-cms,TXT",
+        False,
+        "Count-Min sketch (4x512) frequency estimates for the exact top-20 tokens, with one-sided error exposed",
+    )
+)
+
+# --- Reciprocal rank fusion --------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant
+_RRF_TOPK = 10
+_FUSE_INPUT_K = 20  # toplist depth fused from each system
+
+
+def _rrf_ppm() -> str:
+    """Fused score in micro-units from nullable rank columns — identical
+    text both engines; a doc absent from a system contributes 0."""
+    a = f"COALESCE(1.0 / ({_RRF_K}.0 + CAST(rank_bm25 AS DOUBLE)), 0.0)"
+    b = f"COALESCE(1.0 / ({_RRF_K}.0 + CAST(rank_tf AS DOUBLE)), 0.0)"
+    return f"CAST(ROUND(({a} + {b}) * 1000000.0) AS BIGINT)"
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search import _TERMS, q_bm25_search
+
+    bm = q_bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rank").cast("bigint").alias("rank_bm25")
+    )
+    d = load(spark, sf_dir, "documents")
+    qtoks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term").isin(*_TERMS))
+    tf_total = qtoks.groupBy("doc_id").agg(F.count("*").alias("tf_total"))
+    tf_top = global_topk(
+        tf_total, _FUSE_INPUT_K, [F.desc("tf_total"), F.asc("doc_id")],
+        rank_col="rank_tf",
+    ).select("doc_id", F.col("rank_tf").cast("bigint").alias("rank_tf"))
+    fused = bm.join(tf_top, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("rank_bm25", F.lit(0)).cast("bigint").alias("rank_bm25_0"),
+        F.coalesce("rank_tf", F.lit(0)).cast("bigint").alias("rank_tf_0"),
+        F.expr(_rrf_ppm()).alias("rrf_ppm"),
+    )
+    return global_topk(
+        fused, _RRF_TOPK, [F.desc("rrf_ppm"), F.asc("doc_id")]
+    ).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        "rrf_ppm",
+        F.col("rank_bm25_0").alias("rank_bm25"),
+        F.col("rank_tf_0").alias("rank_tf"),
+    )
+
+
+def _rrf_sql() -> str:
+    from . import REGISTRY
+    from .search import _TERMS
+
+    bm_oracle = REGISTRY["bm25_search"].oracle
+    terms = ", ".join(f"'{t}'" for t in _TERMS)
+    return f"""
+WITH bm AS (
+  SELECT doc_id, CAST(rank AS BIGINT) AS rank_bm25
+  FROM ({bm_oracle})
+),
+qtoks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf_total AS (
+  SELECT doc_id, COUNT(*) AS tf_total FROM qtoks
+  WHERE term IN ({terms}) GROUP BY doc_id
+),
+tf_top AS (
+  SELECT doc_id, CAST(rank_tf AS BIGINT) AS rank_tf FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id ASC) AS rank_tf
+    FROM tf_total
+  ) WHERE rank_tf <= {_FUSE_INPUT_K}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         CAST(COALESCE(rank_bm25, 0) AS BIGINT) AS rank_bm25_0,
+         CAST(COALESCE(rank_tf, 0) AS BIGINT) AS rank_tf_0,
+         {_rrf_ppm()} AS rrf_ppm
+  FROM bm b FULL OUTER JOIN tf_top t ON b.doc_id = t.doc_id
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, rrf_ppm,
+       rank_bm25_0 AS rank_bm25, rank_tf_0 AS rank_tf
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY rrf_ppm DESC, doc_id ASC) AS rank, *
+  FROM fused
+) WHERE rank <= {_RRF_TOPK}
+"""
+
+
+register(
+    QuerySpec(
+        "rrf_fusion",
+        q_rrf_fusion,
+        _rrf_sql(),
+        "TXT-rrf,TXT-bm25",
+        False,
+        "Reciprocal-rank fusion of the BM25 and term-frequency toplists (hybrid retrieval combiner)",
+    )
+)
+
+# --- K-minimum-values distinct sketch ---------------------------------------
+
+_KMV_K = 128
+_POW48 = float(2 ** 48)
+
+
+def _kmv_w(h: str) -> str:
+    """48-bit uniform hash value from md5 hex chars 1-12 (BIGINT-seeded
+    fold, same overflow note as the HLL rho stream)."""
+    expr = f"CAST({_hexval(h, 1)} AS BIGINT)"
+    for pos in range(2, 13):
+        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
+    return expr
+
+
+def _kmv_estimate_ppm() -> str:
+    """(k-1)/u_k estimator (Bar-Yossef et al. 2002; Beyer et al. 2007)
+    from the k-th smallest normalized hash; when the group holds fewer
+    than k distinct hashes the sketch is exhaustive and the estimate is
+    the exact count. Identical text both engines."""
+    # NB: exponent-notation literals — DuckDB types plain decimal literals
+    # as DECIMAL and overflows the product; `e0` forces DOUBLE in both
+    # engines.
+    est = (
+        f"(CASE WHEN n_hashes < {_KMV_K} THEN CAST(n_hashes AS DOUBLE) "
+        f"ELSE {_KMV_K - 1}e0 * {2 ** 48}e0 / CAST(mk AS DOUBLE) END)"
+    )
+    return f"CAST(ROUND({est} * 1000000.0) AS BIGINT)"
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    hashed = sh.select(
+        "lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv")
+    ).distinct()
+    # Per-group k-smallest WITHOUT sorting the group in one task: level 1
+    # ranks inside (lang, wv % 64) salted subgroups — each holds ~1/64 of
+    # the group — and only the per-subgroup k-minima (<= 64k rows/group)
+    # reach the level-2 rank. The union of subgroup k-minima is a superset
+    # of the global k-minima, so the result is exact.
+    w1 = Window.partitionBy("lang", F.expr("wv % 64")).orderBy("wv")
+    lvl1 = (
+        hashed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .drop("rn1")
+    )
+    w2 = Window.partitionBy("lang").orderBy("wv")
+    sketch = lvl1.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    per = sketch.groupBy("lang").agg(
+        F.count("*").alias("n_in_sketch"), F.max("wv").alias("mk")
+    )
+    stats = hashed.groupBy("lang").agg(F.count("*").alias("n_hashes"))
+    exact = sh.select("lang", "shingle").distinct().groupBy("lang").agg(
+        F.count("*").alias("n_exact")
+    )
+    return (
+        exact.join(stats, "lang")
+        .join(per, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            F.col("n_in_sketch").cast("bigint").alias("k_used"),
+            F.col("mk").cast("bigint").alias("kth_min_hash"),
+            F.expr(_kmv_estimate_ppm()).alias("kmv_estimate_ppm"),
+        )
+    )
+
+
+def _kmv_sql() -> str:
+    from ..operators.dedup import sql_shingles
+
+    return f"""
+WITH sh AS (
+  SELECT s.doc_id, s.shingle, d.lang
+  FROM ({sql_shingles('documents', 'doc_id', 'text')}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+),
+hashed AS (
+  SELECT DISTINCT lang, {_kmv_w('md5(shingle)')} AS wv FROM sh
+),
+ranked AS (
+  SELECT lang, wv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY wv) AS rn
+  FROM hashed
+),
+per AS (
+  SELECT lang, COUNT(*) AS n_in_sketch, MAX(wv) AS mk
+  FROM ranked WHERE rn <= {_KMV_K} GROUP BY lang
+),
+stats AS (SELECT lang, COUNT(*) AS n_hashes FROM hashed GROUP BY lang),
+exact AS (
+  SELECT lang, COUNT(DISTINCT shingle) AS n_exact FROM sh GROUP BY lang
+)
+SELECT e.lang, e.n_exact,
+       CAST(p.n_in_sketch AS BIGINT) AS k_used,
+       CAST(p.mk AS BIGINT) AS kth_min_hash,
+       {_kmv_estimate_ppm()} AS kmv_estimate_ppm
+FROM exact e JOIN stats s USING (lang) JOIN per p USING (lang)
+"""
+
+
+register(
+    QuerySpec(
+        "kmv_distinct",
+        q_kmv_distinct,
+        _kmv_sql(),
+        "SK-kmv",
+        False,
+        "K-minimum-values distinct-shingle sketch per lang (k=128, salted two-level k-minima) vs exact",
+    )
+)

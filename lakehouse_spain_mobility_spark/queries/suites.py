@@ -62,6 +62,8 @@ from . import webcur  # noqa: F401,E402
 from . import selection  # noqa: F401,E402
 from . import increment  # noqa: F401,E402
 from . import streamx  # noqa: F401,E402
+from . import sketches  # noqa: F401,E402
+from . import setjoin  # noqa: F401,E402
 from ._suite_schemas import SCHEMAS
 
 _SEP = "|"
@@ -214,6 +216,10 @@ SUITES: dict[str, list[str]] = {
         "cluster_representatives", "shard_manifest",
         # round-4 fold-in (VERDICT r3 #4): the J7 dissolve driver signal
         "spatial_dissolve", "incremental_dedup", "zorder_cluster", "maxsim_rerank", "bitext_margin", "bpe_merges", "stream_tumbling_exec",
+        # round-4b sketch/set-join/fusion additions (queries/sketches.py,
+        # queries/setjoin.py)
+        "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
+        "kmv_distinct", "kn_bigram_lm",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -1,0 +1,188 @@
+"""Semantic invariants for the sketch/set-join/fusion operators
+(queries/sketches.py, queries/setjoin.py). Exact cross-engine parity is
+covered by the parametrized sweep in test_oracle_parity.py; these pin the
+*meaning* of each result — sketch error bounds, exact-algorithm recall,
+fusion arithmetic — plus the plan-shape scale contracts."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from lakehouse_spain_mobility_spark.queries import load_all
+
+from conftest import SF_DIR_ORACLE
+
+REG = load_all()
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    rows = REG["hll_distinct"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 5  # one per event_type
+    for r in rows:
+        assert 1 <= r["registers_nonzero"] <= 64
+        est = r["hll_estimate_ppm"] / 1e6
+        # HLL standard error is 1.04/sqrt(m) = 13% at m=64; 3 sigma = 39%.
+        assert abs(est - r["n_exact"]) <= max(3.0, 0.39 * r["n_exact"]), (
+            r["event_type"], est, r["n_exact"])
+
+
+def test_hll_registers_are_bounded_state(spark):
+    # The register relation (pre-estimate) must be <= m rows per group —
+    # the mergeable-state contract that makes HLL shuffle O(groups * m).
+    plan = REG["hll_distinct"].build(spark, SF_DIR_ORACLE)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # two-level aggregate: partial MAX(rho) before the exchange
+    assert "partial_max" in plan.lower() or "partial" in plan.lower()
+
+
+def test_cms_never_undercounts_and_is_tight_here(spark):
+    rows = REG["cms_heavy_hitters"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 20
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, 21))
+    for r in rows:
+        # the CMS guarantee: estimates are one-sided (never below truth)
+        assert r["overcount"] >= 0
+        assert r["cms_cnt"] == r["exact_cnt"] + r["overcount"]
+    # error bound: with w=512 >> vocab/heavy mass, expected inflation is
+    # small; assert the aggregate overcount stays below 10% of exact mass
+    total_exact = sum(r["exact_cnt"] for r in rows)
+    total_over = sum(r["overcount"] for r in rows)
+    assert total_over <= 0.10 * total_exact
+
+
+def test_rrf_fusion_arithmetic_and_membership(spark):
+    rows = REG["rrf_fusion"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        contrib = 0.0
+        if r["rank_bm25"] > 0:
+            contrib += 1.0 / (60.0 + r["rank_bm25"])
+        if r["rank_tf"] > 0:
+            contrib += 1.0 / (60.0 + r["rank_tf"])
+        assert r["rrf_ppm"] == round(contrib * 1e6)
+        # a fused doc must appear in at least one source toplist
+        assert r["rank_bm25"] > 0 or r["rank_tf"] > 0
+    # fused order is descending in score
+    scores = [r["rrf_ppm"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_prefix_filter_join_is_exact(spark):
+    """Recall contract: the prefix-filtered join must find EXACTLY the
+    pairs a brute-force all-pairs Jaccard>=0.6 scan finds (on the small
+    oracle corpus where brute force is feasible)."""
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in REG["prefix_filter_join"].build(spark, SF_DIR_ORACLE).collect()
+    }
+    from lakehouse_spain_mobility_spark.operators.dedup import shingles
+
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in shingles(d, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter * 5 >= 3 * union:
+            expected[(a, b)] = (inter, union)
+    assert set(got) == set(expected)
+    for (a, b), (inter, union) in expected.items():
+        assert got[(a, b)]["inter"] == inter
+        assert got[(a, b)]["n_a"] + got[(a, b)]["n_b"] - inter == union
+        assert got[(a, b)]["jacc_ppm"] == round(inter / union * 1e6)
+
+
+def test_prefix_filter_join_plan_has_no_cartesian(spark):
+    df = REG["prefix_filter_join"].build(spark, SF_DIR_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kmv_two_level_topk_is_exact_and_estimate_in_band(spark):
+    rows = REG["kmv_distinct"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 5  # one per lang
+    for r in rows:
+        assert r["k_used"] == 128  # every lang has >= k distinct shingles
+        est = r["kmv_estimate_ppm"] / 1e6
+        # KMV std error ~ 1/sqrt(k-2) = 8.9% at k=128; allow 4 sigma.
+        assert abs(est - r["n_exact"]) <= 0.36 * r["n_exact"], (
+            r["lang"], est, r["n_exact"])
+
+
+def test_kmv_kth_min_matches_bruteforce(spark):
+    """The salted two-level rank must produce the true k-th smallest hash
+    (superset property of per-subgroup minima)."""
+    from lakehouse_spain_mobility_spark.queries.sketches import _kmv_w
+    from lakehouse_spain_mobility_spark.operators.dedup import shingles
+
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sh = shingles(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    hashed = sh.select(
+        "lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv")
+    ).distinct()
+    truth = {}
+    for r in hashed.collect():
+        truth.setdefault(r["lang"], []).append(r["wv"])
+    got = {r["lang"]: r["kth_min_hash"]
+           for r in REG["kmv_distinct"].build(spark, SF_DIR_ORACLE).collect()}
+    for lang, vals in truth.items():
+        assert got[lang] == sorted(vals)[127]
+
+
+def test_kn_bigram_probabilities_are_coherent(spark):
+    rows = REG["kn_bigram_lm"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        p = r["pkn_ppm"] / 1e6
+        assert 0.0 < p <= 1.0
+        assert r["c_uw"] <= r["c_u"]
+        assert 1 <= r["n_follow"] and 1 <= r["n_prec"]
+        # the discounted ML term alone is a lower bound on P_kn
+        assert p >= (r["c_uw"] - 0.75) / r["c_u"] - 1e-6
+
+
+def test_kn_distribution_sums_to_one_per_history(spark):
+    """Σ_w P_kn(w|u) over OBSERVED continuations = 1 - unseen mass; with
+    P_cont summed over the observed w's, the identity is
+    Σ_w_obs P_kn(w|u) = 1 - D*N1+(u,*)/c(u) * (1 - Σ_w_obs P_cont(w)).
+    Verify it exactly (float tolerance) for the most frequent history."""
+    from lakehouse_spain_mobility_spark.queries.lm import q_kn_bigram_lm  # noqa: F401
+
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = d.select(F.explode(F.array(toks)).alias("wa"))
+    pairs = F.when(
+        F.size("wa") >= 2,
+        F.arrays_zip(F.slice("wa", 1, F.size("wa") - 1),
+                     F.slice("wa", 2, F.size("wa") - 1)),
+    )
+    bg = docs.select(F.explode(pairs).alias("p")).select(
+        F.col("p.0").alias("u"), F.col("p.1").alias("w"))
+    c_uw = {}
+    for r in bg.groupBy("u", "w").count().collect():
+        c_uw[(r["u"], r["w"])] = r["count"]
+    from collections import Counter
+    c_u = Counter(); n_follow = Counter(); n_prec = Counter()
+    for (u, w), c in c_uw.items():
+        c_u[u] += c; n_follow[u] += 1; n_prec[w] += 1
+    n_types = len(c_uw)
+    u0 = max(c_u, key=lambda u: (c_u[u], u))
+    obs = [w for (u, w) in c_uw if u == u0]
+    total = sum(
+        max(c_uw[(u0, w)] - 0.75, 0.0) / c_u[u0]
+        + 0.75 * n_follow[u0] / c_u[u0] * (n_prec[w] / n_types)
+        for w in obs
+    )
+    pcont_obs = sum(n_prec[w] for w in obs) / n_types
+    expected = 1.0 - 0.75 * n_follow[u0] / c_u[u0] * (1.0 - pcont_obs)
+    assert abs(total - expected) < 1e-9
