@@ -38,7 +38,7 @@ BENCH2 = [
     # round-4b sketch/set-join/fusion operators (queries/sketches.py,
     # queries/setjoin.py)
     "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
-    "kmv_distinct", "kn_bigram_lm",
+    "kmv_distinct", "kn_bigram_lm", "kmv_jaccard", "entropy_diversity",
 ]
 
 

@@ -540,3 +540,178 @@ register(
         "K-minimum-values distinct-shingle sketch per lang (k=128, salted two-level k-minima) vs exact",
     )
 )
+
+# --- KMV Jaccard between groups ---------------------------------------------
+# The property HLL lacks: a KMV sketch supports SET-INTERSECTION estimation
+# (Beyer et al., SIGMOD 2007): for groups A and B with k-minimum sketches
+# S_A, S_B, take U = the k smallest of S_A ∪ S_B; then |U ∩ S_A ∩ S_B|/|U|
+# is an unbiased Jaccard estimate. Cross-language shingle overlap is the
+# curation use case (contamination/borrowing between language shards)
+# where exact pairwise intersection would join the full shingle relations;
+# the sketch version joins k-row tables.
+
+
+def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.dedup import shingles
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    dsh = sh.select("lang", "shingle").distinct()
+    hashed = dsh.select(
+        "lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv")
+    ).distinct()
+    # per-group sketch: same salted two-level k-minima as kmv_distinct
+    w1 = Window.partitionBy("lang", F.expr("wv % 64")).orderBy("wv")
+    w2 = Window.partitionBy("lang").orderBy("wv")
+    sk = (
+        hashed.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("lang", "wv")
+    )
+    langs = sk.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    # per-pair union rows with membership flags, then k smallest of the union
+    ua = pairs.join(sk.select(F.col("lang").alias("lang_a"), "wv"), "lang_a").select(
+        "lang_a", "lang_b", "wv", F.lit(1).alias("fa"), F.lit(0).alias("fb")
+    )
+    ub = pairs.join(sk.select(F.col("lang").alias("lang_b"), "wv"), "lang_b").select(
+        "lang_a", "lang_b", "wv", F.lit(0).alias("fa"), F.lit(1).alias("fb")
+    )
+    u = (
+        ua.unionByName(ub)
+        .groupBy("lang_a", "lang_b", "wv")
+        .agg(F.max("fa").alias("in_a"), F.max("fb").alias("in_b"))
+    )
+    wp = Window.partitionBy("lang_a", "lang_b").orderBy("wv")
+    uk = u.withColumn("rn", F.row_number().over(wp)).filter(F.col("rn") <= _KMV_K)
+    est = uk.groupBy("lang_a", "lang_b").agg(
+        F.count("*").alias("ku"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("kmv_inter"),
+    )
+    # exact side: full shingle-relation pairwise intersection (the cost the
+    # sketch avoids at scale) — rides along as the accuracy contract.
+    sa = dsh.select(F.col("lang").alias("lang_a"), "shingle")
+    sb = dsh.select(F.col("lang").alias("lang_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    sizes = dsh.groupBy("lang").agg(F.count("*").alias("n"))
+    exact = (
+        pairs.join(sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("n_a")), "lang_a")
+        .join(sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("n_b")), "lang_b")
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+        )
+    )
+    return (
+        exact.join(est, ["lang_a", "lang_b"])
+        .select(
+            "lang_a", "lang_b", "n_a", "n_b", "exact_inter",
+            F.expr(
+                "CAST(ROUND(CAST(exact_inter AS DOUBLE)"
+                " / CAST(n_a + n_b - exact_inter AS DOUBLE) * 1000000.0) AS BIGINT)"
+            ).alias("exact_jacc_ppm"),
+            F.col("ku").cast("bigint").alias("ku"),
+            F.col("kmv_inter").cast("bigint").alias("kmv_inter"),
+            F.expr(
+                "CAST(ROUND(CAST(kmv_inter AS DOUBLE)"
+                " / CAST(ku AS DOUBLE) * 1000000.0) AS BIGINT)"
+            ).alias("kmv_jacc_ppm"),
+        )
+    )
+
+
+def _kmv_jaccard_sql() -> str:
+    from ..operators.dedup import sql_shingles
+
+    return f"""
+WITH sh AS (
+  SELECT s.doc_id, s.shingle, d.lang
+  FROM ({sql_shingles('documents', 'doc_id', 'text')}) s
+  JOIN documents d ON s.doc_id = d.doc_id
+),
+dsh AS (SELECT DISTINCT lang, shingle FROM sh),
+hashed AS (
+  SELECT DISTINCT lang, {_kmv_w('md5(shingle)')} AS wv FROM dsh
+),
+sk AS (
+  SELECT lang, wv FROM (
+    SELECT lang, wv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY wv) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+langs AS (SELECT DISTINCT lang FROM sk),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b
+  FROM langs a, langs b WHERE a.lang < b.lang
+),
+u AS (
+  SELECT lang_a, lang_b, wv, MAX(fa) AS in_a, MAX(fb) AS in_b FROM (
+    SELECT p.lang_a, p.lang_b, s.wv, 1 AS fa, 0 AS fb
+    FROM pairs p JOIN sk s ON s.lang = p.lang_a
+    UNION ALL
+    SELECT p.lang_a, p.lang_b, s.wv, 0 AS fa, 1 AS fb
+    FROM pairs p JOIN sk s ON s.lang = p.lang_b
+  ) GROUP BY 1, 2, 3
+),
+uk AS (
+  SELECT * FROM (
+    SELECT u.*, ROW_NUMBER() OVER (
+      PARTITION BY lang_a, lang_b ORDER BY wv) AS rn
+    FROM u
+  ) WHERE rn <= {_KMV_K}
+),
+est AS (
+  SELECT lang_a, lang_b, COUNT(*) AS ku,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS kmv_inter
+  FROM uk GROUP BY 1, 2
+),
+inter AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS exact_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+sizes AS (SELECT lang, COUNT(*) AS n FROM dsh GROUP BY lang),
+exact AS (
+  SELECT p.lang_a, p.lang_b, sa.n AS n_a, sb.n AS n_b,
+         CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter
+  FROM pairs p
+  JOIN sizes sa ON sa.lang = p.lang_a
+  JOIN sizes sb ON sb.lang = p.lang_b
+  LEFT JOIN inter i ON i.lang_a = p.lang_a AND i.lang_b = p.lang_b
+)
+SELECT e.lang_a, e.lang_b, e.n_a, e.n_b, e.exact_inter,
+       CAST(ROUND(CAST(e.exact_inter AS DOUBLE)
+            / CAST(e.n_a + e.n_b - e.exact_inter AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS exact_jacc_ppm,
+       CAST(s.ku AS BIGINT) AS ku,
+       s.kmv_inter,
+       CAST(ROUND(CAST(s.kmv_inter AS DOUBLE)
+            / CAST(s.ku AS DOUBLE) * 1000000.0) AS BIGINT) AS kmv_jacc_ppm
+FROM exact e JOIN est s USING (lang_a, lang_b)
+"""
+
+
+register(
+    QuerySpec(
+        "kmv_jaccard",
+        q_kmv_jaccard,
+        _kmv_jaccard_sql(),
+        "SK-kmv",
+        False,
+        "Pairwise cross-language Jaccard from merged KMV sketches (k-smallest-of-union estimator) vs exact",
+    )
+)

@@ -219,7 +219,7 @@ SUITES: dict[str, list[str]] = {
         # round-4b sketch/set-join/fusion additions (queries/sketches.py,
         # queries/setjoin.py)
         "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
-        "kmv_distinct", "kn_bigram_lm",
+        "kmv_distinct", "kn_bigram_lm", "kmv_jaccard", "entropy_diversity",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

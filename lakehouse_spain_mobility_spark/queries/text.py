@@ -537,3 +537,108 @@ for _spec in [
               "JSON field extraction + per-type aggregation over events"),
 ]:
     register(_spec)
+
+
+# --- corpus diversity audit ---------------------------------------------------
+# The lexical-diversity metrics a curation pipeline tracks per shard/language
+# before and after filtering (cf. Gopher's diversity analyses): Shannon
+# entropy of the token distribution, Simpson concentration, type-token
+# ratio. Entropy follows the repo's transcendental convention — each ln is
+# quantized to 6 decimals on both engines, contributions aggregate through
+# the fixed-point sum — while Simpson is EXACT integer arithmetic
+# (sum of squared counts over a squared total). One token explode + one
+# (lang, token) aggregation + one lang rollup; all map-side combinable.
+
+
+def q_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("lang", "term").agg(F.count("*").alias("c"))
+    totals = counts.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    # -p*ln(p) per type with the quantized-ln convention; dsum makes the
+    # per-lang reduction order-independent.
+    contrib = counts.join(totals.select("lang", "n_tokens"), "lang").select(
+        "lang",
+        (
+            -(F.col("c").cast("double") / F.col("n_tokens").cast("double"))
+            * (
+                F.round(
+                    F.log(F.col("c").cast("double") / F.col("n_tokens").cast("double"))
+                    * F.lit(1e6)
+                )
+                / F.lit(1e6)
+            )
+        ).alias("h"),
+    )
+    ent = contrib.groupBy("lang").agg(micro(dsum(F.col("h"))).alias("entropy_ppm"))
+    return (
+        totals.join(ent, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("n_types").cast("bigint").alias("n_types"),
+            F.expr(
+                "CAST(ROUND(CAST(n_types AS DOUBLE)"
+                " / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT)"
+            ).alias("ttr_ppm"),
+            "entropy_ppm",
+            F.expr(
+                "CAST(ROUND(CAST(sum_c2 AS DOUBLE)"
+                " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+                " * 1000000.0) AS BIGINT)"
+            ).alias("simpson_ppm"),
+        )
+    )
+
+
+def _entropy_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+counts AS (
+  SELECT lang, term, COUNT(*) AS c FROM toks WHERE term <> '' GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM counts GROUP BY 1
+),
+contrib AS (
+  SELECT c.lang,
+         -(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE))
+           * (ROUND(ln(CAST(c.c AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)) * 1e6) / 1e6)
+           AS h
+  FROM counts c JOIN totals t ON c.lang = t.lang
+),
+ent AS (
+  SELECT lang, {sql_micro(sql_dsum('h'))} AS entropy_ppm FROM contrib GROUP BY lang
+)
+SELECT t.lang, t.n_tokens,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(ROUND(CAST(t.n_types AS DOUBLE)
+            / CAST(t.n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS ttr_ppm,
+       e.entropy_ppm,
+       CAST(ROUND(CAST(t.sum_c2 AS DOUBLE)
+            / (CAST(t.n_tokens AS DOUBLE) * CAST(t.n_tokens AS DOUBLE))
+            * 1000000.0) AS BIGINT) AS simpson_ppm
+FROM totals t JOIN ent e USING (lang)
+"""
+
+
+register(
+    QuerySpec(
+        "entropy_diversity",
+        q_entropy_diversity,
+        _entropy_sql(),
+        "TXT-diversity",
+        False,
+        "Per-language lexical diversity audit: Shannon entropy (quantized-ln + fixed-point sum), Simpson, TTR",
+    )
+)

@@ -186,3 +186,53 @@ def test_kn_distribution_sums_to_one_per_history(spark):
     pcont_obs = sum(n_prec[w] for w in obs) / n_types
     expected = 1.0 - 0.75 * n_follow[u0] / c_u[u0] * (1.0 - pcont_obs)
     assert abs(total - expected) < 1e-9
+
+
+def test_kmv_jaccard_estimator_definition_and_accuracy(spark):
+    """The estimate must equal |U_k ∩ S_A ∩ S_B| / |U_k| computed from
+    brute-force sketches, and sit within sampling error of the exact
+    Jaccard."""
+    from lakehouse_spain_mobility_spark.queries.sketches import _kmv_w
+    from lakehouse_spain_mobility_spark.operators.dedup import shingles
+
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sh = shingles(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
+    hashed = (
+        sh.select("lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv"))
+        .distinct()
+        .collect()
+    )
+    by_lang = {}
+    for r in hashed:
+        by_lang.setdefault(r["lang"], set()).add(r["wv"])
+    sk = {lang: set(sorted(v)[:128]) for lang, v in by_lang.items()}
+    rows = REG["kmv_jaccard"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 10  # C(5,2) language pairs
+    for r in rows:
+        a, b = r["lang_a"], r["lang_b"]
+        uk = set(sorted(sk[a] | sk[b])[:128])
+        inter_in_sketch = len(uk & sk[a] & sk[b])
+        assert r["ku"] == len(uk)
+        assert r["kmv_inter"] == inter_in_sketch
+        # SQL ROUND is half-away-from-zero; Python round() is half-even
+        assert r["kmv_jacc_ppm"] == int(inter_in_sketch / len(uk) * 1e6 + 0.5)
+        # accuracy: binomial std err sqrt(J(1-J)/k) — allow 5 sigma + floor
+        j = r["exact_jacc_ppm"] / 1e6
+        tol = 5.0 * ((j * (1 - j) / 128) ** 0.5) + 0.02
+        assert abs(r["kmv_jacc_ppm"] / 1e6 - j) <= tol, (a, b)
+
+
+def test_entropy_diversity_metrics_are_coherent(spark):
+    import math
+
+    rows = REG["entropy_diversity"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        h = r["entropy_ppm"] / 1e6
+        simpson = r["simpson_ppm"] / 1e6
+        # entropy bounded by ln(n_types); Simpson >= 1/n_types (uniform min)
+        assert 0.0 < h <= math.log(r["n_types"]) + 1e-6
+        assert 1.0 / r["n_types"] - 1e-6 <= simpson < 1.0
+        # Renyi ordering: H (Shannon) >= H2 = -ln(Simpson)
+        assert h >= -math.log(simpson) - 1e-4
+        assert 0 < r["ttr_ppm"] <= 1_000_000
