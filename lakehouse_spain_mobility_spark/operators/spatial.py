@@ -74,6 +74,14 @@ def ring_area_centroid(ring: np.ndarray) -> tuple[float, float, float]:
         return 0.0, float(x.mean()), float(y.mean())
     cx = ((x + x2) * cross).sum() / (6.0 * a)
     cy = ((y + y2) * cross).sum() / (6.0 * a)
+    # Degenerate-sliver guard: a simple ring's area centroid always lies in
+    # its bbox; when |a| underflows toward denormal scale the division
+    # amplifies cancellation noise and can land far outside (hypothesis
+    # finds subnormal-coordinate slivers). Outside-bbox is therefore a
+    # sufficient and exact garbage detector — no numerically sane input is
+    # affected — and the fallback matches the a == 0 degenerate path.
+    if not (x.min() <= cx <= x.max() and y.min() <= cy <= y.max()):
+        return float(a), float(x.mean()), float(y.mean())
     return float(a), float(cx), float(cy)
 
 

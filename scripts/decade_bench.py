@@ -36,6 +36,9 @@ QUERIES = [
     # round-4 new operators: scale-measured from birth
     "incremental_dedup", "maxsim_rerank", "bitext_margin", "bpe_merges",
     "stream_tumbling_exec", "spatial_dissolve", "zorder_cluster",
+    # round-4b sketch/set-join/fusion/LM operators: scale-measured from birth
+    "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
+    "kmv_distinct", "kmv_jaccard", "kn_bigram_lm", "entropy_diversity",
 ]
 
 
