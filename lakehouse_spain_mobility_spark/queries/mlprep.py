@@ -373,3 +373,85 @@ for _spec in [
               "TF-IDF term statistics: df, total tf, rounded idf per token"),
 ]:
     register(_spec)
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis A-ES) --------
+# Quality-weighted corpus subsampling: draw k documents WITHOUT replacement
+# with inclusion probability proportional to a weight (here n_chars — the
+# stand-in for a quality score). A-ES (Efraimidis & Spirakis 2006): each
+# item gets key u^(1/w) with u ~ Uniform(0,1); the k largest keys ARE a
+# weighted sample without replacement. Distributed virtue: keys are
+# computed row-local (u from md5, so the "randomness" is deterministic and
+# repartition-stable) and the k largest is the repo's standard heap top-k —
+# one pass, no global sort, trivially mergeable across 1000 executors.
+# Engine parity: ranking happens on ln(u)/w (monotone in u^(1/w)); the ln
+# is quantized to 6 decimals (the repo's transcendental convention) before
+# the one exact-input division, and ties (impossible in practice at 48-bit
+# u) would break on doc_id.
+
+_AES_K = 50
+_AES_POW48P1 = f"{2 ** 48 + 1}e0"  # u = (W+1)/(2^48+1) ∈ (0, 1]
+
+
+def _aes_key() -> str:
+    """ln(u)/w from the 48-bit md5 value W and weight wt — identical text
+    on both engines."""
+    u = f"(CAST(wv + 1 AS DOUBLE) / {_AES_POW48P1})"
+    lnq = f"(ROUND(ln({u}) * 1e6) / 1e6)"
+    return f"({lnq} / CAST(wt AS DOUBLE))"
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import global_topk
+    from .sketches import _kmv_w
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        F.expr(
+            _kmv_w("md5(cast(cast(doc_id as string) as binary))")
+        ).alias("wv"),
+    ).withColumn("es_key", F.expr(_aes_key()))
+    top = global_topk(
+        keyed, _AES_K, [F.desc("es_key"), F.asc("doc_id")]
+    )
+    return top.select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "doc_id",
+        "wt",
+        F.expr("CAST(ROUND(es_key * 1000000000.0) AS BIGINT)").alias("key_ppb"),
+    )
+
+
+def _aes_sql() -> str:
+    from .sketches import _kmv_w
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+         {_kmv_w("md5(CAST(doc_id AS VARCHAR))", spark_dialect=False)} AS wv
+  FROM documents WHERE n_chars > 0
+),
+scored AS (
+  SELECT doc_id, wt, {_aes_key()} AS es_key FROM keyed
+)
+SELECT CAST(rank AS BIGINT) AS rank, doc_id, wt,
+       CAST(ROUND(es_key * 1000000000.0) AS BIGINT) AS key_ppb
+FROM (
+  SELECT ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id ASC) AS rank, *
+  FROM scored
+) WHERE rank <= {_AES_K}
+"""
+
+
+register(
+    QuerySpec(
+        "weighted_sample",
+        q_weighted_sample,
+        _aes_sql(),
+        "ML-sample,TD-mix",
+        False,
+        "Efraimidis-Spirakis weighted sampling without replacement (k=50, deterministic md5 uniforms, heap top-k)",
+    )
+)

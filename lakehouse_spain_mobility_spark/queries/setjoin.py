@@ -17,15 +17,27 @@ NUM/DEN), so no float ever decides membership; only the reported
 ``jacc_ppm`` is a (deterministic, exact-integer-input) double division
 rounded to micro-units.
 
-At 100 TB: the df table is a token-level aggregate (Zipf-bounded,
-broadcastable); the per-document rank window partitions by doc_id (bounded
-by document length, never global); the candidate join shuffles prefix
-postings on token — postings lists are short by construction since prefix
-tokens are globally rare; verification joins are bounded by the candidate
-count. This is the standard exact-join complement to MinHash in a curation
-pipeline (run LSH for recall screening, prefix-join where exactness is
-required). The reference has no set-similarity surface; cf.
-``queries/dedup.py`` for the probabilistic siblings.
+The join runs over EXACT-DEDUP REPRESENTATIVES, not raw documents: docs
+first collapse by content hash (keep-min doc_id + replica count), and the
+similarity join relates distinct texts only. This is how production
+pipelines order the stages (exact dedup strictly before any similarity
+join) and it is also the quadratic-output guard: on a corpus where every
+page is mirrored r times, pairing raw docs emits O(r^2) identical-pair
+rows per group (measured: the raw form produced 250k pairs and an oracle
+OOM on the 10x-replicated sf1 corpus), while the collapsed form emits each
+TEXT pair once with the replica counts carried as accounting columns.
+
+At 100 TB: the content-hash collapse is one hash aggregation (the
+dedup_exact shuffle); the df table is a shingle-level aggregate
+(Zipf-bounded, broadcastable); the per-document rank window partitions by
+doc_id (bounded by document length, never global); the candidate join
+shuffles prefix postings on shingle — postings lists are short by
+construction since prefix shingles are globally rare; verification joins
+are bounded by the candidate count. This is the standard exact-join
+complement to MinHash in a curation pipeline (run LSH for recall
+screening, prefix-join where exactness is required). The reference has no
+set-similarity surface; cf. ``queries/dedup.py`` for the probabilistic
+siblings.
 """
 
 from __future__ import annotations
@@ -43,9 +55,20 @@ _T_DEN = 5
 
 def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # Exact-dedup collapse first (keep-min representative per content
+    # hash): the similarity join must relate distinct texts, never
+    # replicas of the same text.
+    reps = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("th"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("replicas"),
+        )
+    )
+    rep_docs = d.join(reps.select("doc_id", "replicas"), "doc_id")
     # 3-gram word shingles (the dedup family's discriminative unit —
     # unigram sets over a bounded vocabulary make every pair look similar).
-    toks = shingles(d, "doc_id", "text").select(
+    toks = shingles(rep_docs, "doc_id", "text").select(
         "doc_id", F.col("shingle").alias("term")
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -94,22 +117,38 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter") * F.lit(_T_DEN)
         >= F.lit(_T_NUM) * (F.col("n_a") + F.col("n_b") - F.col("inter"))
     )
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
-        F.col("inter").cast("bigint").alias("inter"),
-        F.expr(
-            "CAST(ROUND(CAST(inter AS DOUBLE)"
-            " / CAST(n_a + n_b - inter AS DOUBLE) * 1000000.0) AS BIGINT)"
-        ).alias("jacc_ppm"),
+    ra = reps.select(F.col("doc_id").alias("doc_a"), F.col("replicas").alias("replicas_a"))
+    rb = reps.select(F.col("doc_id").alias("doc_b"), F.col("replicas").alias("replicas_b"))
+    return (
+        verified.join(F.broadcast(ra), "doc_a")
+        .join(F.broadcast(rb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("inter").cast("bigint").alias("inter"),
+            F.expr(
+                "CAST(ROUND(CAST(inter AS DOUBLE)"
+                " / CAST(n_a + n_b - inter AS DOUBLE) * 1000000.0) AS BIGINT)"
+            ).alias("jacc_ppm"),
+            "replicas_a",
+            "replicas_b",
+        )
     )
 
 
 _SQL = f"""
-WITH toks AS (
-  SELECT doc_id, shingle AS term FROM ({sql_shingles('documents', 'doc_id', 'text')})
+WITH reps AS (
+  SELECT md5(text) AS th, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS replicas
+  FROM documents GROUP BY 1
+),
+rep_docs AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN reps r ON d.doc_id = r.doc_id
+),
+toks AS (
+  SELECT doc_id, shingle AS term FROM ({sql_shingles('rep_docs', 'doc_id', 'text')})
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 dfreq AS (SELECT term, COUNT(*) AS df FROM toks GROUP BY term),
@@ -138,13 +177,17 @@ inter AS (
   JOIN toks tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
   GROUP BY 1, 2, 3, 4
 )
-SELECT doc_a, doc_b,
-       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-       CAST(inter AS BIGINT) AS inter,
-       CAST(ROUND(CAST(inter AS DOUBLE)
-            / CAST(n_a + n_b - inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jacc_ppm
-FROM inter
-WHERE inter * {_T_DEN} >= {_T_NUM} * (n_a + n_b - inter)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_a AS BIGINT) AS n_a, CAST(i.n_b AS BIGINT) AS n_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(ROUND(CAST(i.inter AS DOUBLE)
+            / CAST(i.n_a + i.n_b - i.inter AS DOUBLE) * 1000000.0) AS BIGINT) AS jacc_ppm,
+       ra.replicas AS replicas_a,
+       rb.replicas AS replicas_b
+FROM inter i
+JOIN reps ra ON ra.doc_id = i.doc_a
+JOIN reps rb ON rb.doc_id = i.doc_b
+WHERE i.inter * {_T_DEN} >= {_T_NUM} * (i.n_a + i.n_b - i.inter)
 """
 
 

@@ -77,22 +77,29 @@ def _hll_bucket(h: str) -> str:
     return f"((({_hexval(h, 1)}) * 16 + ({_hexval(h, 2)})) % {_HLL_M})"
 
 
-def _hll_w(h: str) -> str:
-    """48-bit rho stream from md5 hex chars 3-14 as one BIGINT (the fold
-    seeds with an explicit BIGINT cast — Spark's instr returns INT and the
-    ANSI-mode 32-bit multiply overflows past 8 hex chars otherwise)."""
-    expr = f"CAST({_hexval(h, 3)} AS BIGINT)"
-    for pos in range(4, 15):
-        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
-    return expr
+def _hex_bigint(h: str, start: int, n: int, spark_dialect: bool) -> str:
+    """BIGINT from ``n`` hex chars of ``h`` starting at 1-based ``start``.
+    One engine-native hex parse instead of an n-step instr fold (the fold
+    is correct but costs ~2n string ops per row): Spark via conv(base 16),
+    DuckDB via its 0x-literal cast. Both yield the same exact integer for
+    n <= 15 (60 bits)."""
+    sub = f"substring({h}, {start}, {n})"
+    if spark_dialect:
+        return f"CAST(conv({sub}, 16, 10) AS BIGINT)"
+    return f"CAST(concat('0x', {sub}) AS BIGINT)"
 
 
-def _hll_rho(h: str) -> str:
+def _hll_w(h: str, spark_dialect: bool = True) -> str:
+    """48-bit rho stream from md5 hex chars 3-14 as one BIGINT."""
+    return _hex_bigint(h, 3, 12, spark_dialect)
+
+
+def _hll_rho(h: str, spark_dialect: bool = True) -> str:
     """Position of the first 1-bit of the 48-bit stream (1-based), 49 when
     the stream is all zeros. bin() drops leading zeros and returns '0' for
     zero in BOTH engines, so 49 - length(bin(w)) is the leading-zero count
     + 1 without any float log."""
-    w = _hll_w(h)
+    w = _hll_w(h, spark_dialect)
     return (
         f"(CASE WHEN ({w}) = 0 THEN {_HLL_RHO_BITS + 1} "
         f"ELSE {_HLL_RHO_BITS + 1} - length(bin(CAST({w} AS BIGINT))) END)"
@@ -117,9 +124,14 @@ def _hll_estimate_ppm() -> str:
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
+    # explode(array(...)) is the repo's projection barrier (SCALE.md §8c):
+    # bucket + rho reference `h` ~26 times via substring; CollapseProject
+    # would otherwise inline the md5 into every reference.
     hashed = ev.select(
         "event_type",
-        F.expr("md5(cast(cast(user_id as string) as binary))").alias("h"),
+        F.explode(
+            F.array(F.expr("md5(cast(cast(user_id as string) as binary))"))
+        ).alias("h"),
     )
     rows = hashed.select(
         "event_type",
@@ -155,7 +167,8 @@ WITH hashed AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
 ),
 rows_ AS (
-  SELECT event_type, {_hll_bucket('h')} AS bucket, {_hll_rho('h')} AS rho
+  SELECT event_type, {_hll_bucket('h')} AS bucket,
+         {_hll_rho('h', spark_dialect=False)} AS rho
   FROM hashed
 ),
 regs AS (
@@ -427,13 +440,10 @@ _KMV_K = 128
 _POW48 = float(2 ** 48)
 
 
-def _kmv_w(h: str) -> str:
-    """48-bit uniform hash value from md5 hex chars 1-12 (BIGINT-seeded
-    fold, same overflow note as the HLL rho stream)."""
-    expr = f"CAST({_hexval(h, 1)} AS BIGINT)"
-    for pos in range(2, 13):
-        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
-    return expr
+def _kmv_w(h: str, spark_dialect: bool = True) -> str:
+    """48-bit uniform hash value from md5 hex chars 1-12 (one engine-native
+    hex parse; see _hex_bigint)."""
+    return _hex_bigint(h, 1, 12, spark_dialect)
 
 
 def _kmv_estimate_ppm() -> str:
@@ -460,9 +470,12 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(d, "doc_id", "text").join(
         d.select("doc_id", "lang"), "doc_id"
     )
+    # barrier: the 48-bit fold reads 12 hex chars of the md5 — materialize
+    # the digest once per row instead of 12 inlined evaluations.
     hashed = sh.select(
-        "lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv")
-    ).distinct()
+        "lang",
+        F.explode(F.array(F.expr("md5(cast(shingle as binary))"))).alias("hh"),
+    ).select("lang", F.expr(_kmv_w("hh")).alias("wv")).distinct()
     # Per-group k-smallest WITHOUT sorting the group in one task: level 1
     # ranks inside (lang, wv % 64) salted subgroups — each holds ~1/64 of
     # the group — and only the per-subgroup k-minima (<= 64k rows/group)
@@ -508,7 +521,7 @@ WITH sh AS (
   JOIN documents d ON s.doc_id = d.doc_id
 ),
 hashed AS (
-  SELECT DISTINCT lang, {_kmv_w('md5(shingle)')} AS wv FROM sh
+  SELECT DISTINCT lang, {_kmv_w('md5(shingle)', spark_dialect=False)} AS wv FROM sh
 ),
 ranked AS (
   SELECT lang, wv, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY wv) AS rn
@@ -559,9 +572,11 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = shingles(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
     dsh = sh.select("lang", "shingle").distinct()
+    # same projection barrier as kmv_distinct: one md5 per row, not 12
     hashed = dsh.select(
-        "lang", F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv")
-    ).distinct()
+        "lang",
+        F.explode(F.array(F.expr("md5(cast(shingle as binary))"))).alias("hh"),
+    ).select("lang", F.expr(_kmv_w("hh")).alias("wv")).distinct()
     # per-group sketch: same salted two-level k-minima as kmv_distinct
     w1 = Window.partitionBy("lang", F.expr("wv % 64")).orderBy("wv")
     w2 = Window.partitionBy("lang").orderBy("wv")
@@ -645,7 +660,7 @@ WITH sh AS (
 ),
 dsh AS (SELECT DISTINCT lang, shingle FROM sh),
 hashed AS (
-  SELECT DISTINCT lang, {_kmv_w('md5(shingle)')} AS wv FROM dsh
+  SELECT DISTINCT lang, {_kmv_w('md5(shingle)', spark_dialect=False)} AS wv FROM dsh
 ),
 sk AS (
   SELECT lang, wv FROM (

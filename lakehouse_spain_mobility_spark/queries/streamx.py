@@ -91,3 +91,84 @@ register(
         "REAL Structured Streaming run: availableNow replay through the StateStore vs the batch oracle",
     )
 )
+
+
+def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation through the REAL streaming engine: the
+    merging-session StateStore path (a different state format than the
+    tumbling query's fixed windows), availableNow replay, memory sink.
+    Oracle: the classic lag/island reconstruction in integer microseconds
+    — Spark opens a new session iff the gap to the previous event is
+    >= 30 min (session end is exclusive), which is exactly the
+    ``diff_us >= gap_us`` island rule."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    if isinstance(src.schema["ts"].dataType, T.LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = F.session_window(F.col("ts"), "30 minutes")
+    agg = src.groupBy(sess.alias("s"), F.col("user_id")).agg(
+        F.count("*").alias("n_events"), xdsum("value").alias("total_value")
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).select(
+        F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "total_value",
+    )
+
+
+_SESSION_SQL = f"""
+WITH lagd AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+grp AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagd
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM grp GROUP BY user_id, sid
+"""
+
+
+register(
+    QuerySpec(
+        "stream_session_exec",
+        q_stream_session_exec,
+        _SESSION_SQL,
+        "§2.10-exec,W2",
+        False,
+        "REAL streaming session windows: merging-session StateStore via availableNow vs lag/island batch oracle",
+    )
+)

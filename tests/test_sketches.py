@@ -236,3 +236,34 @@ def test_entropy_diversity_metrics_are_coherent(spark):
         # Renyi ordering: H (Shannon) >= H2 = -ln(Simpson)
         assert h >= -math.log(simpson) - 1e-4
         assert 0 < r["ttr_ppm"] <= 1_000_000
+
+
+def test_weighted_sample_is_aes(spark):
+    """The sample must be exactly the k largest u^(1/w) keys computed by
+    brute force, and heavier docs must be overrepresented relative to a
+    uniform draw."""
+    import math
+
+    rows = REG["weighted_sample"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 50
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet").select(
+        "doc_id", "n_chars").collect()
+    from lakehouse_spain_mobility_spark.queries.sketches import _kmv_w  # noqa: F401
+    import hashlib
+
+    def key(doc_id, wt):
+        hx = hashlib.md5(str(doc_id).encode()).hexdigest()
+        wv = int(hx[:12], 16)
+        u = (wv + 1) / (2 ** 48 + 1)
+        lnq = round(math.log(u) * 1e6) / 1e6
+        return lnq / wt
+
+    brute = sorted(
+        ((key(r["doc_id"], r["n_chars"]), r["doc_id"]) for r in d if r["n_chars"] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:50]
+    assert [b[1] for b in brute] == [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    # weighting bias: mean weight of the sample exceeds the corpus mean
+    corpus_mean = sum(r["n_chars"] for r in d) / len(d)
+    sample_mean = sum(r["wt"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
