@@ -58,19 +58,27 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-dedup collapse first (keep-min representative per content
     # hash): the similarity join must relate distinct texts, never
     # replicas of the same text.
+    # reps feeds three consumers (the rep_docs filter and both accounting
+    # join sides) and toks five (sizes, dfreq, ranked, ta, tb); eager
+    # localCheckpoints make each expensive subtree execute ONCE instead of
+    # per consumer (the repo's shared-subplan idiom — eager, because the
+    # lazy form races AQE when two query stages materialize it
+    # concurrently). Measured at sf0.1: 6.7 s -> 5.5 s.
     reps = (
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("th"))
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count("*").cast("bigint").alias("replicas"),
         )
+        .select("doc_id", "replicas")
+        .localCheckpoint(eager=True)
     )
-    rep_docs = d.join(reps.select("doc_id", "replicas"), "doc_id")
+    rep_docs = d.join(reps.select("doc_id"), "doc_id")
     # 3-gram word shingles (the dedup family's discriminative unit —
     # unigram sets over a bounded vocabulary make every pair look similar).
     toks = shingles(rep_docs, "doc_id", "text").select(
         "doc_id", F.col("shingle").alias("term")
-    )
+    ).localCheckpoint(eager=True)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
     # Canonical df-ascending order (ties by token text): the prefix holds
