@@ -173,3 +173,79 @@ register(
         description="Training-shard manifests: md5 hash sharding, per-shard doc/token/byte counts + checksums",
     )
 )
+
+
+# --- per-source quota capping (domain capping) -------------------------------
+# Public method (RefinedWeb / CommonCrawl curation): web corpora are
+# power-law concentrated per domain, so an uncapped corpus is mostly its
+# top few hosts. The cap keeps at most QUOTA_CAP docs per source,
+# electing the BEST ones (longest content, ties by doc_id), with the
+# per-source population carried alongside for mix accounting.
+#
+# 100 TB design — the salted TWO-PHASE top-k:
+#   phase 1 ranks within (source, salt) where salt = doc_id % QUOTA_SALTS,
+#   so the hottest domain's sort is split across QUOTA_SALTS bounded
+#   partitions (the skew dial: raise it with cluster width);
+#   phase 2 re-ranks the <= QUOTA_SALTS*QUOTA_CAP survivors per source —
+#   a provable superset of the true per-source top-CAP, so the final
+#   rank is exact. A single per-source window (the naive form) would
+#   sort the hottest domain in ONE task — the same single-partition
+#   pathology SCALE.md bans for global top-k, one level down.
+# The per-source totals are a map-side-combined count whose output is
+# |sources| rows — broadcast back onto the <=CAP survivors.
+
+QUOTA_CAP = 8
+QUOTA_SALTS = 8
+
+
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w1 = Window.partitionBy("source", F.pmod(F.col("doc_id"), F.lit(QUOTA_SALTS))).orderBy(*order)
+    survivors = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= QUOTA_CAP)
+        .drop("r1")
+    )
+    w2 = Window.partitionBy("source").orderBy(*order)
+    kept = (
+        survivors.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= QUOTA_CAP)
+    )
+    totals = d.groupBy("source").agg(F.count("*").cast("bigint").alias("src_total"))
+    return kept.join(F.broadcast(totals), "source").select(
+        "source",
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("rk").cast("int").alias("rk"),
+        "src_total",
+    )
+
+
+_QUOTA_SQL = f"""
+WITH ranked AS (
+    SELECT source, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id ASC) AS rk,
+           COUNT(*) OVER (PARTITION BY source) AS src_total
+    FROM documents
+)
+SELECT source,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(rk AS INTEGER) AS rk,
+       CAST(src_total AS BIGINT) AS src_total
+FROM ranked
+WHERE rk <= {QUOTA_CAP}
+"""
+
+
+register(
+    QuerySpec(
+        "source_quota_cap",
+        q_source_quota_cap,
+        _QUOTA_SQL,
+        survey="TD-mix",
+        description="Domain capping: salted two-phase keep-best top-N per source with population accounting",
+    )
+)

@@ -203,3 +203,58 @@ def test_line_dedup_empty_documents_produce_zero_lines(spark, tmp_path):
         assert rows[d]["n_lines"] == 0
         assert rows[d]["n_kept_lines"] == 0
         assert rows[d]["n_kept_tokens"] == 0
+
+
+def test_source_quota_cap_semantics_and_skew_equivalence(spark):
+    """The salted two-phase top-N must produce EXACTLY the naive
+    per-source window's keep-set — including under adversarial skew
+    (one source holding ~all documents, heavy n_chars ties) — and the
+    accounting column must carry the full per-source population."""
+    from lakehouse_spain_mobility_spark.queries.selection import (
+        QUOTA_CAP, q_source_quota_cap,
+    )
+
+    rows = REG["source_quota_cap"].build(spark, SF_DIR_ORACLE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert len(rs) <= QUOTA_CAP
+        assert sorted(r["rk"] for r in rs) == list(range(1, len(rs) + 1))
+        # keep-best: survivors ordered by (n_chars desc, doc_id asc)
+        ordered = sorted(rs, key=lambda r: (-r["n_chars"], r["doc_id"]))
+        assert [r["rk"] for r in ordered] == list(range(1, len(rs) + 1))
+        assert all(r["src_total"] >= len(rs) for r in rs)
+
+    # adversarial skew: 9,000 of 9,030 docs in ONE source, n_chars taking
+    # only 3 distinct values (the per-salt rank must not disagree with
+    # the global rank under mass ties)
+    import pandas as pd
+
+    skew = pd.DataFrame(
+        {
+            "doc_id": range(9030),
+            "source": ["hot"] * 9000 + ["cold%d" % (i % 3) for i in range(30)],
+            "n_chars": [(i * 7) % 3 + 100 for i in range(9030)],
+            "text": ["x"] * 9030,
+            "lang": ["en"] * 9030,
+        }
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(skew).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        got = {
+            (r["source"], r["doc_id"]): r["rk"]
+            for r in q_source_quota_cap(spark, td).collect()
+        }
+    naive = {}
+    for src in skew["source"].unique():
+        sub = skew[skew["source"] == src].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        for rk, (_, row) in enumerate(sub.head(QUOTA_CAP).iterrows(), 1):
+            naive[(src, int(row["doc_id"]))] = rk
+    assert got == naive
