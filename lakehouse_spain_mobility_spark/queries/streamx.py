@@ -172,3 +172,85 @@ register(
         "REAL streaming session windows: merging-session StateStore via availableNow vs lag/island batch oracle",
     )
 )
+
+
+def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DEDUPLICATION through the real engine: the events stream
+    is unioned with a second reader of the same files (every row now
+    arrives exactly twice) and ``dropDuplicates`` on the event key runs
+    through the streaming state store under availableNow replay — the
+    exactly-once re-delivery contract. The memory sink then rolls up per
+    event_type, and the DuckDB oracle aggregates the ORIGINAL events
+    table: if even one duplicate leaked through the state store, every
+    count and checksum doubles and the hash compare fails.
+
+    Determinism: the duplicate arrivals are byte-identical rows, so
+    whichever arrival the state store keeps yields the same output. The
+    production form for unbounded streams is the watermarked
+    ``dropDuplicatesWithinWatermark`` (streaming/incremental.py:90 —
+    bounded state); availableNow replay of a bounded history is the one
+    case where infinite-retention dedup state is the right tool.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def reader():
+        if os.path.isdir(path):
+            s = spark.readStream.schema(schema).parquet(path)
+        else:
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        if isinstance(s.schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return s
+
+    doubled = reader().union(reader())
+    deduped = doubled.dropDuplicates(["event_id"])
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_checksum"),
+            xdsum("value").alias("total_value"),
+        )
+    )
+
+
+_DEDUP_EXEC_SQL = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "stream_dedup_exec",
+        q_stream_dedup_exec,
+        _DEDUP_EXEC_SQL,
+        "§2.10-exec,TD-dedup",
+        False,
+        "REAL streaming dedup: doubled arrivals through dropDuplicates state, rollup vs single-copy oracle",
+    )
+)

@@ -39,7 +39,7 @@ QUERIES = [
     # round-4b sketch/set-join/fusion/LM operators: scale-measured from birth
     "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
     "kmv_distinct", "kmv_jaccard", "kn_bigram_lm", "entropy_diversity",
-    "source_quota_cap",
+    "source_quota_cap", "stream_dedup_exec",
 ]
 
 

@@ -267,3 +267,29 @@ def test_stream_tumbling_exec_equals_batch_form(spark):
     stream = sorted(map(tuple, reg["stream_tumbling_exec"].build(spark, sf).collect()))
     batch = sorted(map(tuple, reg["tumbling_window"].build(spark, sf).collect()))
     assert stream == batch and len(stream) > 0
+
+
+def test_stream_dedup_exec_collapses_doubled_arrivals(spark):
+    """§2.10 dedup contract: the doubled stream (every event delivered
+    twice) must collapse through dropDuplicates state to EXACTLY the
+    single-copy batch aggregate — counts and id checksums would double if
+    one duplicate leaked through the state store."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r.asDict() for r in
+           reg["stream_dedup_exec"].build(spark, sf).collect()}
+    ev = load(spark, sf, "events")
+    want = {r["event_type"]: r.asDict() for r in
+            ev.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+            ).collect()}
+    assert set(got) == set(want) and len(got) > 0
+    for k, w in want.items():
+        assert got[k]["n_events"] == w["n_events"]
+        assert got[k]["id_checksum"] == w["id_checksum"]
