@@ -37,3 +37,37 @@ def global_topk(
     top = df.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return top.withColumn(rank_col, F.row_number().over(w))
+
+
+def salted_group_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_expr: Column,
+    k: int,
+    order: Sequence[Column],
+    salts: int,
+    rank_col: str = "rk",
+) -> DataFrame:
+    """Per-GROUP top-k without sorting any whole group in one task — the
+    group-level analog of ``global_topk`` (SCALE.md's single-partition
+    pathology, one level down: a per-key window sorts the hottest key's
+    entire population in ONE task).
+
+    Phase 1 ranks within (keys…, salt) — ``salt_expr % salts`` splits the
+    hottest group across ``salts`` bounded partitions (the skew dial:
+    raise it with cluster width). Phase 2 re-ranks the ≤ salts·k
+    survivors per group — a provable superset of the true per-group
+    top-k, so the final rank is exact. Callers must make ``order`` a
+    total order (unique tie-break) for cross-engine determinism.
+    """
+    w1 = Window.partitionBy(*keys, F.pmod(salt_expr, F.lit(salts))).orderBy(*order)
+    survivors = (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= k)
+    )

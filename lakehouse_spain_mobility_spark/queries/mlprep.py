@@ -455,3 +455,120 @@ register(
         "Efraimidis-Spirakis weighted sampling without replacement (k=50, deterministic md5 uniforms, heap top-k)",
     )
 )
+
+
+# --- curriculum ordering (difficulty deciles + stable intra-bin shuffle) -----
+# Public method (curriculum learning, Bengio et al.): training data is
+# ordered easy→hard, with examples SHUFFLED inside each difficulty bin.
+# Difficulty proxy here is document length; bins are exact global deciles.
+#
+# 100 TB design — the value-domain CDF trick: a global NTILE would sort
+# the whole corpus in one task (the SCALE.md single-partition
+# pathology). Instead the decile boundary function is computed on the
+# per-VALUE histogram: group by n_chars (bounded value domain — a few
+# hundred distinct lengths regardless of corpus size), one running-sum
+# window over that tiny relation (single-partition BY DESIGN: its input
+# is |distinct values|, not |corpus|), and the resulting value→decile
+# map broadcasts back onto the corpus as a map-side join. The intra-bin
+# shuffle order is md5 (repartition/append-stable, the split-key
+# convention); each bin's curriculum HEAD is elected with the salted
+# two-phase group top-k, so no decile is ever sorted in one task.
+
+CURRICULUM_HEAD = 3
+_CURR_SALTS = 8
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import salted_group_topk
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    hist = d.groupBy("n_chars").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select(
+        "n_chars", (F.sum("c").over(w) - F.col("c")).alias("below")
+    )
+    total = hist.agg(F.sum("c").alias("total"))
+    dmap = cdf.crossJoin(F.broadcast(total)).select(
+        "n_chars",
+        F.floor(F.col("below") * F.lit(10.0) / F.col("total"))
+        .cast("int")
+        .alias("decile"),
+    )
+    docs = d.join(F.broadcast(dmap), "n_chars").select(
+        "decile",
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    stats = docs.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("dec_docs"),
+        F.sum("doc_id").cast("bigint").alias("dec_checksum"),
+    )
+    head = salted_group_topk(
+        docs,
+        ["decile"],
+        F.col("doc_id"),
+        CURRICULUM_HEAD,
+        [F.asc("h"), F.asc("doc_id")],
+        _CURR_SALTS,
+    )
+    return head.join(F.broadcast(stats), "decile").select(
+        "decile",
+        F.col("rk").cast("int").alias("rk"),
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "dec_docs",
+        "dec_checksum",
+    )
+
+
+_CURRICULUM_SQL = f"""
+WITH hist AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+cdf AS (
+    SELECT n_chars,
+           SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) - c AS below
+    FROM hist
+),
+tot AS (SELECT COUNT(*) AS total FROM documents),
+dmap AS (
+    SELECT n_chars, CAST(FLOOR(below * 10.0 / total) AS INTEGER) AS decile
+    FROM cdf, tot
+),
+docs AS (
+    SELECT m.decile, d.doc_id, d.n_chars,
+           md5(CAST(d.doc_id AS VARCHAR)) AS h
+    FROM documents d JOIN dmap m USING (n_chars)
+),
+stats AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS dec_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS dec_checksum
+    FROM docs GROUP BY 1
+),
+ranked AS (
+    SELECT decile, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY decile ORDER BY h, doc_id) AS rk
+    FROM docs
+)
+SELECT r.decile,
+       CAST(r.rk AS INTEGER) AS rk,
+       CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(r.n_chars AS BIGINT) AS n_chars,
+       s.dec_docs,
+       s.dec_checksum
+FROM ranked r JOIN stats s USING (decile)
+WHERE r.rk <= {CURRICULUM_HEAD}
+"""
+
+
+register(
+    QuerySpec(
+        "curriculum_order",
+        q_curriculum_order,
+        _CURRICULUM_SQL,
+        "TD-mix,W1",
+        False,
+        "Curriculum ordering: value-domain CDF deciles, md5 intra-bin shuffle, salted per-bin heads",
+    )
+)

@@ -46,6 +46,7 @@ from . import QuerySpec, register
 from .curation import _LOGREG_SQL, q_quality_logreg
 from .dedup import _DEDUP_NGRAM_SQL, MAX_SHINGLE_DF
 from .tables import load
+from ..functions.topk import salted_group_topk
 from ..operators import dedup as dd
 from ..operators.graph import connected_components, sql_connected_components
 
@@ -201,16 +202,8 @@ QUOTA_SALTS = 8
 def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
     order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
-    w1 = Window.partitionBy("source", F.pmod(F.col("doc_id"), F.lit(QUOTA_SALTS))).orderBy(*order)
-    survivors = (
-        d.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= QUOTA_CAP)
-        .drop("r1")
-    )
-    w2 = Window.partitionBy("source").orderBy(*order)
-    kept = (
-        survivors.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= QUOTA_CAP)
+    kept = salted_group_topk(
+        d, ["source"], F.col("doc_id"), QUOTA_CAP, order, QUOTA_SALTS
     )
     totals = d.groupBy("source").agg(F.count("*").cast("bigint").alias("src_total"))
     return kept.join(F.broadcast(totals), "source").select(

@@ -39,7 +39,7 @@ QUERIES = [
     # round-4b sketch/set-join/fusion/LM operators: scale-measured from birth
     "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
     "kmv_distinct", "kmv_jaccard", "kn_bigram_lm", "entropy_diversity",
-    "source_quota_cap", "stream_dedup_exec",
+    "source_quota_cap", "stream_dedup_exec", "curriculum_order",
 ]
 
 
@@ -47,7 +47,12 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.testdata_sf1"
     label = sys.argv[2] if len(sys.argv) > 2 else sf_dir.rstrip("/").rsplit("/", 1)[-1]
     registry = load_all()
-    specs = [registry[n] for n in QUERIES]
+    # DECADE_SKIP: comma-separated names to leave out at a given scale —
+    # used at sf10 for bitext_margin, whose exact A×B grid is quadratic
+    # BY CONSTRUCTION on both engines (the candidate-generation scale
+    # path is LSH/Hamming; the grid is the bounded oracle form).
+    skip = set(filter(None, os.environ.get("DECADE_SKIP", "").split(",")))
+    specs = [registry[n] for n in QUERIES if n not in skip]
 
     spark = build_session(app_name="decade-bench")
     spark.range(1000).selectExpr("sum(id)").collect()

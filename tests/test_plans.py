@@ -310,3 +310,43 @@ def test_temperature_mix_rate_table_broadcast(spark):
     df = REG["temperature_mix"].build(spark, SF_DIR_ORACLE)
     assert pi.count_broadcast_joins(df) >= 1
     assert pi.count_sortmerge_joins(df) == 0
+
+
+def test_source_quota_cap_salted_windows_and_pruned_scan(spark):
+    """Domain-capping contract: the documents scan prunes to (source,
+    doc_id, n_chars); the phase-1 rank window partitions by (source,
+    SALT) — never by source alone over the full corpus — and the
+    per-source totals join back as a broadcast."""
+    df = REG["source_quota_cap"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    schemas = pi.read_schemas(df)
+    assert schemas and all("text" not in s and "lang" not in s for s in schemas), schemas
+    # the salt expression is part of a window partition spec
+    assert "pmod" in plan, plan[:2000]
+    assert pi.count_broadcast_joins(df) >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_order_cdf_window_is_value_domain_bounded(spark):
+    """Curriculum contract: the only empty-partition window runs over the
+    n_chars HISTOGRAM (value-domain bounded), never the corpus — the
+    corpus-side windows must all carry a partition spec; the decile map
+    and stats join back as broadcasts; scan prunes to (doc_id,
+    n_chars)."""
+    df = REG["curriculum_order"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    schemas = pi.read_schemas(df)
+    assert schemas and all("text" not in s and "source" not in s for s in schemas), schemas
+    import re
+
+    # every windowspecdefinition over a relation containing doc_id (the
+    # corpus side) must have partition columns; the histogram cumsum is
+    # the one window allowed to be global, and it never sees doc_id
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:2000]
+    global_specs = [s for s in specs if s.strip().startswith("n_chars") or ", " not in s.split("ASC")[0]]
+    # at least: salted rank + per-decile rank carry partition specs
+    parted = [s for s in specs if "decile" in s or "pmod" in s]
+    assert parted, specs
+    assert pi.count_broadcast_joins(df) >= 2
+    assert "CartesianProduct" not in plan or "total" in plan  # scalar-broadcast crossJoin only

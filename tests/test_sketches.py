@@ -267,3 +267,45 @@ def test_weighted_sample_is_aes(spark):
     corpus_mean = sum(r["n_chars"] for r in d) / len(d)
     sample_mean = sum(r["wt"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean
+
+
+def test_curriculum_order_decile_exactness(spark):
+    """The value-domain CDF binning must equal the exact global decile
+    definition (floor(10 * #docs-strictly-shorter / total)), heads must
+    follow the md5 order, and the accounting must cover every document
+    exactly once."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries.mlprep import CURRICULUM_HEAD
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.01"
+    rows = reg["curriculum_order"].build(spark, sf).collect()
+    from lakehouse_spain_mobility_spark.queries.tables import load as tload
+
+    docs = tload(spark, sf, "documents").select("doc_id", "n_chars").toPandas()
+    total = len(docs)
+    below = {v: int((docs["n_chars"] < v).sum()) for v in docs["n_chars"].unique()}
+    exact_decile = {
+        int(r.doc_id): int(below[r.n_chars] * 10 // total)
+        for r in docs.itertuples()
+    }
+    import hashlib
+
+    # accounting covers the corpus once
+    stats = {r["decile"]: (r["dec_docs"], r["dec_checksum"]) for r in rows}
+    assert sum(d for d, _ in stats.values()) == total
+    assert sum(c for _, c in stats.values()) == int(docs["doc_id"].sum())
+    for r in rows:
+        assert r["decile"] == exact_decile[r["doc_id"]]
+        assert 0 <= r["decile"] <= 9
+        assert 1 <= r["rk"] <= CURRICULUM_HEAD
+    # per-decile heads are the md5-minimal members
+    byd = {}
+    for r in rows:
+        byd.setdefault(r["decile"], []).append(r)
+    md5 = lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    for dec, rs in byd.items():
+        members = [i for i, d in exact_decile.items() if d == dec]
+        want = sorted(members, key=lambda i: (md5(i), i))[: len(rs)]
+        got = [r["doc_id"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert got == want
