@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import sql_dsum
 from ..operators import dedup as dd
 from . import QuerySpec, register
 from .tables import load
@@ -153,5 +154,90 @@ register(
         "TD-dedup-incr",
         False,
         "Incremental crawl dedup: batch classified vs corpus index (exact/LSH) then within itself, all semi joins",
+    )
+)
+
+
+# --- incremental view maintenance (signed-delta aggregate) -------------------
+# The OTHER incremental shape a lakehouse needs: keep a materialized
+# aggregate current under a CDC batch of inserts AND retractions without
+# recomputing from scratch. The change batch derives deterministically
+# from the events table (event_id % 10 == 0 → late-arriving insert of a
+# value-shifted copy; event_id % 17 == 0 → retraction of the original),
+# and the maintained view is the per-event-type (count, sum) aggregate:
+#
+#     base_agg ⊕ Σ signed deltas  ==  from-scratch recompute
+#
+# Spark-first / 100 TB: the base aggregate stands in for a stored silver
+# table (catalog.create_or_replace at warehouse scale); the delta is ONE
+# map-side-combined aggregation over the (crawl-sized) CDC batch with
+# ±1 sign columns; the merge is a |groups|-sized union-aggregate —
+# nothing fact-sized moves twice. The fixed-point dsum makes ⊕
+# associative AND retraction-exact byte for byte — IEEE float sums are
+# not ((a+b)-b ≠ a), which is why float-summed materialized views drift
+# under retraction; integer micros cannot. The re-aggregation of the two
+# double partials passes through dsum_rollup_guard, so past the 2^53
+# double-exact envelope the query degrades loudly, never silently
+# (ADVICE r3 q11 convention). The oracle recomputes the final state from
+# scratch — a double-applied delta or a missed retraction shifts counts
+# or micros and fails the hash.
+
+
+def q_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.deterministic import dsum, dsum_rollup_guard
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base_agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(F.col("value")).alias("total"),
+    )
+    inserts = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_type",
+        (F.col("value") + F.lit(0.5)).alias("value"),
+        F.lit(1).alias("sign"),
+    )
+    retracts = ev.filter(F.col("event_id") % 17 == 0).select(
+        "event_type", "value", F.lit(-1).alias("sign")
+    )
+    delta = (
+        inserts.unionByName(retracts)
+        .groupBy("event_type")
+        .agg(
+            F.sum("sign").cast("bigint").alias("n"),
+            dsum(F.col("value") * F.col("sign")).alias("total"),
+        )
+    )
+    return (
+        base_agg.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            dsum(dsum_rollup_guard(F.col("total"))).alias("total_value"),
+        )
+    )
+
+
+_IVM_SQL = f"""
+WITH final_state AS (
+    SELECT event_type, value FROM events WHERE event_id % 17 <> 0
+    UNION ALL
+    SELECT event_type, value + 0.5 AS value FROM events WHERE event_id % 10 = 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM final_state
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "ivm_delta_agg",
+        q_ivm_delta_agg,
+        _IVM_SQL,
+        "K2,A4,§2.10",
+        False,
+        "Incremental view maintenance: signed-delta merge equals from-scratch recompute",
     )
 )
