@@ -212,25 +212,31 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     doubled = reader().union(reader())
     deduped = doubled.dropDuplicates(["event_id"])
+    # The rollup runs INSIDE the streaming query (dedup state feeding a
+    # streaming aggregation), so the memory sink holds |event_types|
+    # rows, never the corpus — sinking the raw post-dedup stream put the
+    # whole table on the driver heap and OOM'd at sf10 (the measured
+    # failure that motivated this shape). Dedup state itself is one key
+    # per event_id; at a real 100 TB replay that state lives in the
+    # RocksDB state store provider, not executor heap.
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("event_id").cast("bigint").alias("id_checksum"),
+        xdsum("value").alias("total_value"),
+    )
     name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
     q = (
-        deduped.writeStream.format("memory")
+        agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode("complete")
         .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
     q.stop()
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum("event_id").cast("bigint").alias("id_checksum"),
-            xdsum("value").alias("total_value"),
-        )
+    return spark.table(name).select(
+        "event_type", "n_events", "id_checksum", "total_value"
     )
 
 

@@ -221,7 +221,7 @@ SUITES: dict[str, list[str]] = {
         "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
         "kmv_distinct", "kn_bigram_lm", "kmv_jaccard", "entropy_diversity",
         "weighted_sample", "stream_session_exec", "source_quota_cap",
-        "stream_dedup_exec", "curriculum_order",
+        "stream_dedup_exec", "curriculum_order", "ivm_delta_agg",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -309,3 +309,36 @@ def test_curriculum_order_decile_exactness(spark):
         want = sorted(members, key=lambda i: (md5(i), i))[: len(rs)]
         got = [r["doc_id"] for r in sorted(rs, key=lambda r: r["rk"])]
         assert got == want
+
+
+def test_ivm_delta_merge_equals_recompute(spark):
+    """IVM algebra: base_agg ⊕ signed deltas must equal the from-scratch
+    aggregate of the final state — including exact retraction of float
+    values (the fixed-point sum makes (a+b)-b == a hold in micros)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.functions.deterministic import dsum
+    from lakehouse_spain_mobility_spark.queries import load_all
+    from lakehouse_spain_mobility_spark.queries.tables import load as tload
+
+    reg = load_all()
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r.asDict() for r in
+           reg["ivm_delta_agg"].build(spark, sf).collect()}
+    ev = tload(spark, sf, "events").select("event_id", "event_type", "value")
+    final_state = ev.filter(F.col("event_id") % 17 != 0).select(
+        "event_type", "value"
+    ).unionByName(
+        ev.filter(F.col("event_id") % 10 == 0).select(
+            "event_type", (F.col("value") + F.lit(0.5)).alias("value")
+        )
+    )
+    want = {r["event_type"]: r.asDict() for r in
+            final_state.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                dsum(F.col("value")).alias("total_value"),
+            ).collect()}
+    assert set(got) == set(want) and len(got) == 5
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert got[k]["total_value"] == want[k]["total_value"]  # bit-equal
