@@ -313,7 +313,13 @@ def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "lang",
             words.alias("w"),
-            F.explode(F.sequence(F.lit(1), F.size(words) - 1)).alias("i"),
+            # guard: split() yields [""] for an empty doc (size == 1), and
+            # sequence(1, 0) is a DESCENDING [1, 0] — two phantom bigram
+            # rows — while the oracle's generate_series(1, 0) is empty
+            # (the line_dedup empty-doc convention, ADVICE r3)
+            F.explode(
+                F.when(F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1))
+            ).alias("i"),
         )
         .select(
             "doc_id",

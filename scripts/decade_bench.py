@@ -89,6 +89,7 @@ def main() -> None:
             "ratio": round(spark_t[q] / duck_t[q], 3) if duck_t[q] > 0 else None,
         }
         for q in QUERIES
+        if q in spark_t  # DECADE_SKIP names have no measurements
     }
     print(json.dumps({"label": label, "sf_dir": sf_dir, "queries": out}))
 

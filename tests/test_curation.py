@@ -222,3 +222,51 @@ def test_bpe_first_merge_is_true_argmax_pair(spark):
     # single char or the round-1 merged symbol
     for side in (rows[2]["a"], rows[2]["b"]):
         assert len(side) == 1 or side == merged1
+
+
+def test_repetition_quality_empty_and_single_word_docs(spark):
+    """Empty/1-word docs must contribute ZERO bigrams (sequence(1,0) is a
+    descending [1,0] in Spark — the phantom-row trap ADVICE r3 flagged in
+    line_dedup; same guard here). The planted corpus pins the per-lang
+    rollup to the values only the guarded form produces."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    reg = load_all()
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["", "one", "a a a a", "x y x y"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0, 3, 7, 7],
+        }
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(corpus).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        rows = reg["repetition_quality"].build(spark, td).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    # only docs 2 and 3 have bigrams; phantom ("","") rows from docs 0/1
+    # would bump n_docs to 4 and shift both averages
+    assert r["n_docs"] == 2, r
+    # exact values come from the registered DuckDB twin on the same
+    # planted corpus (generate_series(1, 0) is empty there by definition)
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", corpus)
+    want = dict(
+        zip(
+            [c[0] for c in con.execute(reg["repetition_quality"].oracle).description],
+            con.execute(reg["repetition_quality"].oracle).fetchone(),
+        )
+    )
+    for k in ("n_docs", "n_flagged", "avg_dup_bigram_frac_ppm", "avg_top_bigram_share_ppm"):
+        assert r[k] == want[k], (k, r, want)
