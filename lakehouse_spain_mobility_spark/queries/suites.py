@@ -222,6 +222,7 @@ SUITES: dict[str, list[str]] = {
         "kmv_distinct", "kn_bigram_lm", "kmv_jaccard", "entropy_diversity",
         "weighted_sample", "stream_session_exec", "source_quota_cap",
         "stream_dedup_exec", "curriculum_order", "ivm_delta_agg",
+        "k_anonymity_audit",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

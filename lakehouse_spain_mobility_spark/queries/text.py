@@ -648,3 +648,74 @@ register(
         "Per-language lexical diversity audit: Shannon entropy (quantized-ln + fixed-point sum), Simpson, TTR",
     )
 )
+
+
+# --- k-anonymity audit (privacy QA before release) ---------------------------
+# Public method (Sweeney): a released table re-identifies people when a
+# QUASI-IDENTIFIER combination (here: event_type × hour-of-day × coarse
+# value band) isolates fewer than K rows. Training-data releases run
+# this audit before publishing event-derived features. Output is the
+# per-event-type risk profile: group counts, <K groups, rows at risk,
+# and the smallest group size.
+#
+# 100 TB shape: ONE hash aggregation on the quasi-identifier key (map-
+# side partials absorb the key skew), then a |qid-groups|-sized rollup —
+# nothing row-sized crosses the second exchange. The coarse band keeps
+# the QID domain bounded (|types|·24·|bands|), which is also what makes
+# the k-anonymity decision meaningful (raw values would make every row
+# unique — and make the grouped relation corpus-sized).
+
+_K_ANON = 5
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    qid = e.select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("band"),
+    )
+    groups = qid.groupBy("event_type", "hh", "band").agg(
+        F.count("*").alias("n")
+    )
+    risky = F.col("n") < _K_ANON
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(risky.cast("int")).cast("bigint").alias("n_risky_groups"),
+            F.sum(F.when(risky, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+            F.min("n").cast("bigint").alias("min_group_size"),
+        )
+    )
+
+
+_KANON_SQL = f"""
+WITH groups AS (
+    SELECT event_type, hour(ts) AS hh,
+           CAST(FLOOR(value / 100.0) AS BIGINT) AS band,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN n < {_K_ANON} THEN n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(n) AS BIGINT) AS min_group_size
+FROM groups
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "k_anonymity_audit",
+        q_k_anonymity_audit,
+        _KANON_SQL,
+        "TXT-pii,A8",
+        False,
+        "k-anonymity audit: quasi-identifier group sizes, <K groups and rows at risk per event type",
+    )
+)

@@ -40,7 +40,7 @@ QUERIES = [
     "hll_distinct", "cms_heavy_hitters", "rrf_fusion", "prefix_filter_join",
     "kmv_distinct", "kmv_jaccard", "kn_bigram_lm", "entropy_diversity",
     "source_quota_cap", "stream_dedup_exec", "curriculum_order",
-    "ivm_delta_agg",
+    "ivm_delta_agg", "k_anonymity_audit",
 ]
 
 

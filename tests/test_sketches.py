@@ -342,3 +342,37 @@ def test_ivm_delta_merge_equals_recompute(spark):
     for k in want:
         assert got[k]["n_events"] == want[k]["n_events"]
         assert got[k]["total_value"] == want[k]["total_value"]  # bit-equal
+
+
+def test_k_anonymity_audit_flags_planted_small_groups(spark):
+    """A planted events table with one singleton quasi-identifier group
+    must surface exactly that group as risky."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    reg = load_all()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = []
+    # 6 clicks in the same (type, hour, band) -> safe group
+    for i in range(6):
+        rows.append((i, base, 100 + i, "click", 50.0, "{}"))
+    # 1 purchase alone in its (type, hour, band) -> risky singleton
+    rows.append((6, base, 200, "purchase", 950.0, "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(ev).write.mode("overwrite").parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = {r["event_type"]: r.asDict()
+               for r in reg["k_anonymity_audit"].build(spark, td).collect()}
+    assert got["click"]["n_risky_groups"] == 0
+    assert got["click"]["min_group_size"] == 6
+    assert got["purchase"]["n_risky_groups"] == 1
+    assert got["purchase"]["n_rows_at_risk"] == 1
+    assert got["purchase"]["min_group_size"] == 1
