@@ -341,9 +341,21 @@ _MAXSIM_TOP = 20
 _MAXSIM_QUERY = 0
 
 
-def _maxsim_dot(sub_col, q_lit):
-    prods = F.zip_with(sub_col, q_lit, lambda x, y: x.cast("double") * y)
-    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+def _maxsim_dot(vec_col, doc_off: int, q_sub):
+    """Unrolled left-associated dot of a 16-dim doc slice vs literal query sub.
+
+    Bit-identical to the interpreted ``aggregate`` fold it replaces (same
+    ((p1+p2)+p3)… IEEE order; the fold's 0.0 seed only differs on an all
+    ±0.0 product stream, which ppm quantization maps to 0 either way), but
+    a flat whole-stage-codegen tree — the ~20× trap-#12 gap measured on
+    the bitext kernel (PERF.md). Query values fold to Literal constants.
+    """
+    expr = F.element_at(vec_col, doc_off + 1).cast("double") * F.lit(float(q_sub[0]))
+    for i in range(2, _MAXSIM_SUB + 1):
+        expr = expr + F.element_at(vec_col, doc_off + i).cast("double") * F.lit(
+            float(q_sub[i - 1])
+        )
+    return expr
 
 
 def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,16 +369,15 @@ def q_maxsim_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     qvec = qrow[0]
     q_subs = [
-        F.lit([float(x) for x in qvec[s * _MAXSIM_SUB : (s + 1) * _MAXSIM_SUB]])
+        [float(x) for x in qvec[s * _MAXSIM_SUB : (s + 1) * _MAXSIM_SUB]]
         for s in range(_MAXSIM_M)
     ]
-    doc_subs = [
-        F.slice("embedding", s * _MAXSIM_SUB + 1, _MAXSIM_SUB)
-        for s in range(_MAXSIM_M)
-    ]
+    vec = F.col("embedding")
     score = None
     for qi in q_subs:
-        best = F.greatest(*[_maxsim_dot(ds, qi) for ds in doc_subs])
+        best = F.greatest(
+            *[_maxsim_dot(vec, d * _MAXSIM_SUB, qi) for d in range(_MAXSIM_M)]
+        )
         score = best if score is None else score + best
     scored = e.filter(F.col("vec_id") != _MAXSIM_QUERY).select(
         "vec_id", micro(score).alias("maxsim_ppm")

@@ -730,3 +730,142 @@ register(
         "Pairwise cross-language Jaccard from merged KMV sketches (k-smallest-of-union estimator) vs exact",
     )
 )
+
+
+# --- CMS join-size estimation (the planner's question) -----------------------
+# Public method (Cormode & Muthukrishnan 2005 §4.2; the AMS line of
+# work): the size of an equi-join |A ⋈_k B| = Σ_k cntA(k)·cntB(k) is the
+# inner product of the two key-frequency vectors, and the Count-Min
+# inner-product estimator — per salted row, the dot product of the two
+# sketch rows; take the MIN over rows — upper-bounds it with one-sided
+# error ε·|A|·|B|/w. Query optimizers answer "how big is this join"
+# exactly this way before choosing a strategy. The join estimated here
+# has real multiplicity on BOTH sides: lineitem keyed by l_partkey vs
+# the returned-items subset (l_returnflag = 'R') on the same key — the
+# filtered-fact self-join shape a planner must size to pick broadcast vs
+# shuffle.
+#
+# 100 TB shape: each side collapses to a 2048-cell sketch in ONE
+# map-side-combinable hash aggregation (cells ← the per-key count
+# relation, never raw rows); the estimate is an O(d·w) sketch-sketch
+# join. The exact inner product rides along as the accuracy contract —
+# it is a |keys|-sized join of the two count relations, NOT the
+# materialized pair join (Σ cnt² pairs never exist anywhere). Pure
+# integer arithmetic end to end; `overcount >= 0` is the one-sided
+# guarantee the hash would catch if the bucketing ever diverged.
+
+
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    key = F.col("l_partkey").cast("string").alias("term")
+
+    counts_a = li.select(key).groupBy("term").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    counts_b = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(key)
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+    def sketch(counts: DataFrame) -> DataFrame:
+        cells = counts.select(
+            "cnt",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("salt"),
+                            F.expr(_cms_bucket(s, True)).alias("bucket"),
+                        )
+                        for s in range(_CMS_D)
+                    ]
+                )
+            ).alias("sb"),
+        ).select(
+            "cnt", F.col("sb.salt").alias("salt"), F.col("sb.bucket").alias("bucket")
+        )
+        return cells.groupBy("salt", "bucket").agg(
+            F.sum("cnt").cast("bigint").alias("c")
+        )
+
+    dots = (
+        sketch(counts_a)
+        .withColumnRenamed("c", "ca")
+        .join(sketch(counts_b).withColumnRenamed("c", "cb"), ["salt", "bucket"])
+        .groupBy("salt")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
+    )
+    est = dots.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    exact = (
+        counts_a.withColumnRenamed("cnt", "na")
+        .join(counts_b.withColumnRenamed("cnt", "nb"), "term")
+        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_pairs"))
+    )
+    return (
+        exact.crossJoin(est)  # two 1-row aggregates (A5 scalar pattern)
+        .select(
+            "exact_pairs",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_pairs"))
+            .cast("bigint")
+            .alias("overcount"),
+            F.floor(
+                (F.col("cms_estimate") - F.col("exact_pairs"))
+                * F.lit(1000000)
+                / F.col("exact_pairs")
+            )
+            .cast("bigint")
+            .alias("err_ppm"),
+        )
+    )
+
+
+def _join_size_sql() -> str:
+    def cells(src: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT term, cnt, {s} AS salt, {_cms_bucket(s, False)} AS bucket FROM {src}"
+            for s in range(_CMS_D)
+        )
+
+    return f"""
+WITH counts_a AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+counts_b AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+cells_a AS ({cells("counts_a")}),
+cells_b AS ({cells("counts_b")}),
+sk_a AS (SELECT salt, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM cells_a GROUP BY 1, 2),
+sk_b AS (SELECT salt, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM cells_b GROUP BY 1, 2),
+dots AS (
+  SELECT a.salt, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM sk_a a JOIN sk_b b USING (salt, bucket)
+  GROUP BY 1
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM dots),
+exact AS (
+  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_pairs
+  FROM counts_a a JOIN counts_b b USING (term)
+)
+SELECT exact_pairs, cms_estimate,
+       CAST(cms_estimate - exact_pairs AS BIGINT) AS overcount,
+       CAST(FLOOR((cms_estimate - exact_pairs) * 1000000.0 / exact_pairs) AS BIGINT) AS err_ppm
+FROM exact, est
+"""
+
+
+register(
+    QuerySpec(
+        "join_size_estimate",
+        q_join_size_estimate,
+        _join_size_sql(),
+        "SK-cms,J3,A5",
+        False,
+        "CMS inner-product join-cardinality estimate vs the exact count-vector inner product",
+    )
+)

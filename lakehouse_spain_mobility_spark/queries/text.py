@@ -719,3 +719,85 @@ register(
         "k-anonymity audit: quasi-identifier group sizes, <K groups and rows at risk per event type",
     )
 )
+
+
+# --- l-diversity audit (the k-anonymity companion) ---------------------------
+# Public method (Machanavajjhala et al. 2007): k-anonymity alone fails
+# when a small QID group is HOMOGENEOUS in the sensitive attribute —
+# every member shares the value, so membership alone discloses it.
+# l-diversity demands >= L distinct sensitive values per released QID
+# group. Same QID key as q_k_anonymity_audit (event_type × hour × value
+# band); the sensitive attribute is the user bucket (user_id % 97 — a
+# bounded pseudonym domain, the released-feature shape).
+#
+# 100 TB shape: COUNT(DISTINCT sensitive) per group is deliberately NOT
+# the two-level expansion Spark plans for count_distinct (trap #4,
+# SCALE.md): aggregate the (qid, sensitive) pairs first — map-side
+# partials collapse the corpus to |distinct pairs| rows — then count
+# rows per qid group, then roll up per event type. Three hash aggs, each
+# input strictly smaller than the last; nothing row-sized moves twice.
+
+_L_DIV = 3
+_SENS_MOD = 97
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "event_type",
+        F.hour("ts").alias("hh"),
+        F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("band"),
+        (F.col("user_id") % _SENS_MOD).alias("sens"),
+    ).groupBy("event_type", "hh", "band", "sens").agg(
+        F.count("*").alias("n_rows")
+    )
+    groups = pairs.groupBy("event_type", "hh", "band").agg(
+        F.count("*").alias("l"),  # distinct sensitive values in the group
+        F.sum("n_rows").alias("n"),
+    )
+    low = F.col("l") < _L_DIV
+    return (
+        groups.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(low.cast("int")).cast("bigint").alias("n_low_diversity"),
+            F.sum(F.when(low, F.col("n")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_rows_exposed"),
+            F.min("l").cast("bigint").alias("min_l"),
+        )
+    )
+
+
+_LDIV_SQL = f"""
+WITH pairs AS (
+    SELECT event_type, hour(ts) AS hh,
+           CAST(FLOOR(value / 100.0) AS BIGINT) AS band,
+           user_id % {_SENS_MOD} AS sens,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY 1, 2, 3, 4
+),
+groups AS (
+    SELECT event_type, hh, band, COUNT(*) AS l, SUM(n_rows) AS n
+    FROM pairs GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN l < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT) AS n_low_diversity,
+       CAST(SUM(CASE WHEN l < {_L_DIV} THEN n ELSE 0 END) AS BIGINT) AS n_rows_exposed,
+       CAST(MIN(l) AS BIGINT) AS min_l
+FROM groups
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "l_diversity_audit",
+        q_l_diversity_audit,
+        _LDIV_SQL,
+        "TXT-pii,A8",
+        False,
+        "l-diversity audit: distinct sensitive values per QID group, homogeneous groups exposed",
+    )
+)
