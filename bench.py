@@ -42,6 +42,10 @@ BENCH2 = [
     "weighted_sample", "stream_session_exec", "source_quota_cap",
     "stream_dedup_exec", "curriculum_order", "ivm_delta_agg",
     "k_anonymity_audit",
+    # round-4d operators (privacy, planner sketches, itemsets, UniMax,
+    # stream-stream join exec, inverted index)
+    "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
+    "unimax_mix", "stream_join_exec", "inverted_index",
 ]
 
 

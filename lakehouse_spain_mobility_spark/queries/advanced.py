@@ -333,3 +333,136 @@ for _spec in [
               "CUBE over status x priority with grouping ids"),
 ]:
     register(_spec)
+
+
+# --- frequent itemset mining (market-basket, A-priori pruned) ----------------
+# Public method (Agrawal & Srikant 1994): find item PAIRS that co-occur
+# in many baskets. Basket := order; item := p_brand of the ordered parts.
+# The A-priori property prunes before any pair is enumerated: a pair can
+# only reach pair-support if BOTH items reach item-support, so the
+# within-basket self-join runs over support-filtered items only. The
+# training-data analog is co-occurrence mining over tag/source sets.
+#
+# 100 TB shape: item counting is ONE map-side-combinable hash agg; the
+# pair enumeration is a within-basket self-join whose fan-out is bounded
+# by (frequent items per basket choose 2) — baskets have ≤7 line items,
+# so ≤21 pair rows per basket, and the support floor caps the item
+# domain at ≤|brands| regardless of corpus size. Supports compare as
+# integers (cnt·100 ≥ N) — no float thresholds to drift; lift is a
+# ppm-quantized output column. Top-20 via the heap top-k discipline.
+
+_FIS_ITEM_PCT = 100   # item support floor: cnt * 100 >= N  (1%)
+_FIS_PAIR_PCT = 500   # pair support floor: cnt * 500 >= N  (0.2%)
+_FIS_TOPK = 20
+
+
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.topk import global_topk
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.select("o").distinct().agg(
+        F.count("*").cast("bigint").alias("n_baskets")
+    )
+    item_cnt = baskets.groupBy("item").agg(
+        F.count("*").cast("bigint").alias("sup")
+    )
+    freq = (
+        item_cnt.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("sup") * _FIS_ITEM_PCT >= F.col("n_baskets"))
+        .select("item", "sup")
+    )
+    fb = baskets.join(F.broadcast(freq.select("item")), "item", "left_semi")
+    pairs = (
+        fb.select("o", F.col("item").alias("item_a"))
+        .join(fb.select("o", F.col("item").alias("item_b")), "o")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("sup_ab"))
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(n_baskets))
+        .filter(F.col("sup_ab") * _FIS_PAIR_PCT >= F.col("n_baskets"))
+        .join(
+            F.broadcast(freq.select(F.col("item").alias("item_a"),
+                                    F.col("sup").alias("sup_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("item").alias("item_b"),
+                                    F.col("sup").alias("sup_b"))),
+            "item_b",
+        )
+    )
+    from ..functions.deterministic import micro
+
+    lift = (
+        F.col("sup_ab").cast("double")
+        * F.col("n_baskets")
+        / (F.col("sup_a") * F.col("sup_b"))
+    )
+    out = scored.select(
+        "item_a", "item_b", F.col("sup_ab").alias("support"),
+        micro(lift).alias("lift_ppm"),
+    )
+    return global_topk(
+        out, _FIS_TOPK,
+        [F.desc("support"), F.asc("item_a"), F.asc("item_b")],
+    ).select("rank", "item_a", "item_b", "support", "lift_ppm")
+
+
+def _fis_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    lift = "CAST(sup_ab AS DOUBLE) * n_baskets / (sup_a * sup_b)"
+    return f"""
+WITH baskets AS (
+    SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS item
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM baskets),
+item_cnt AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS sup FROM baskets GROUP BY item
+),
+freq AS (
+    SELECT item, sup FROM item_cnt, nb WHERE sup * {_FIS_ITEM_PCT} >= n_baskets
+),
+fb AS (SELECT b.o, b.item FROM baskets b WHERE b.item IN (SELECT item FROM freq)),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS sup_ab
+    FROM fb a JOIN fb b ON a.o = b.o AND a.item < b.item
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT p.item_a, p.item_b, p.sup_ab, fa.sup AS sup_a, fb2.sup AS sup_b,
+           nb.n_baskets
+    FROM pairs p CROSS JOIN nb
+    JOIN freq fa ON p.item_a = fa.item
+    JOIN freq fb2 ON p.item_b = fb2.item
+    WHERE p.sup_ab * {_FIS_PAIR_PCT} >= nb.n_baskets
+)
+SELECT rank, item_a, item_b, support, lift_ppm FROM (
+    SELECT ROW_NUMBER() OVER (
+               ORDER BY sup_ab DESC, item_a ASC, item_b ASC) AS rank,
+           item_a, item_b, sup_ab AS support,
+           {sql_micro(lift)} AS lift_ppm
+    FROM scored
+) WHERE rank <= {_FIS_TOPK}
+"""
+
+
+register(
+    QuerySpec(
+        "frequent_itemsets",
+        q_frequent_itemsets,
+        _fis_sql(),
+        "A3,J3,TD-cooccur",
+        False,
+        "A-priori-pruned frequent brand pairs per order basket with ppm lift, heap top-20",
+    )
+)

@@ -569,3 +569,146 @@ register(
         description="Logistic quality classifier inference (fixed weights, ppm sigmoid, keep flag)",
     )
 )
+
+
+# --- UniMax language-budget allocation ----------------------------------------
+# Public method (Chung et al. 2023, "UniMax: Fairer and More Effective
+# Language Sampling"): given per-language corpus sizes n_l, a total
+# training budget B, and an epoch cap E, allocate budget uniformly
+# across languages EXCEPT that no language may exceed E·n_l tokens —
+# low-resource languages are capped at E epochs and their unused share
+# waterfills into the rest. This is the successor to temperature mixing
+# (cf. q_temperature_mix) in multilingual pretraining.
+#
+# Closed form instead of iteration: sort languages by capacity c_l=E·n_l
+# ascending; language i is capped iff its capacity is below the fair
+# share of the budget remaining after all smaller languages took theirs:
+# c_i·(L−i+1) ≤ B−P_{i−1} (P = running capacity prefix sum). Cap state
+# is monotone in i, so the uncapped suffix splits the leftover evenly —
+# floor division, with the remainder going to the first r uncapped
+# languages in sort order, keeping every allocation an exact integer
+# (sums to exactly min(B, ΣC); no float shares to drift cross-engine).
+#
+# 100 TB shape: ONE hash agg to |langs| rows; every window below runs on
+# that ≤|langs| relation (the bounded-domain exception to the global-
+# window rule, cf. vocab_growth's 10-row window); B and L broadcast as
+# 1-row scalars. The allocation table then drives the actual sampling
+# pass the way temperature_mix's rate table does.
+
+_UNIMAX_EPOCH_CAP = 3
+_UNIMAX_BUDGET_DEN = 2  # B = total_tokens // 2
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    langs = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("n_tokens")
+    )
+    tot = langs.agg(
+        F.expr(f"CAST(sum(n_tokens) DIV {_UNIMAX_BUDGET_DEN} AS BIGINT)").alias(
+            "budget"
+        ),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    w = Window.orderBy("cap", "lang")
+    staged = (
+        langs.crossJoin(F.broadcast(tot))
+        .withColumn("cap", (F.col("n_tokens") * _UNIMAX_EPOCH_CAP).cast("bigint"))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn("p", F.sum("cap").over(w))
+    )
+    capped = (
+        F.col("cap") * (F.col("n_langs") - F.col("i") + 1)
+        <= F.col("budget") - (F.col("p") - F.col("cap"))
+    )
+    staged = staged.withColumn("is_capped", capped)
+    k_row = staged.agg(
+        F.max(F.when(F.col("is_capped"), F.col("i")).otherwise(F.lit(0)))
+        .cast("bigint").alias("k"),
+        F.max(F.when(F.col("is_capped"), F.col("p")).otherwise(F.lit(0)))
+        .cast("bigint").alias("p_k"),
+    )
+    alloc = (
+        staged.crossJoin(F.broadcast(k_row))
+        .withColumn("n_open", F.col("n_langs") - F.col("k"))
+        .withColumn("leftover", F.col("budget") - F.col("p_k"))
+        .withColumn(
+            "allocated",
+            F.when(F.col("is_capped"), F.col("cap")).otherwise(
+                F.expr("CAST(leftover DIV n_open AS BIGINT)")
+                + F.when(
+                    F.col("i") - F.col("k") <= F.col("leftover") % F.col("n_open"),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).cast("bigint"),
+        )
+    )
+    from ..functions.deterministic import micro
+
+    return alloc.select(
+        "lang",
+        "n_tokens",
+        F.col("cap").alias("capacity"),
+        F.col("is_capped").alias("capped"),
+        "allocated",
+        micro(F.col("allocated").cast("double") / F.col("n_tokens")).alias(
+            "epochs_ppm"
+        ),
+    )
+
+
+def _unimax_sql() -> str:
+    from ..functions.deterministic import sql_micro
+
+    return f"""
+WITH langs AS (
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) // {_UNIMAX_BUDGET_DEN} AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM langs
+),
+staged AS (
+    SELECT l.lang, l.n_tokens, t.budget, t.n_langs,
+           CAST(l.n_tokens * {_UNIMAX_EPOCH_CAP} AS BIGINT) AS cap,
+           ROW_NUMBER() OVER (ORDER BY l.n_tokens * {_UNIMAX_EPOCH_CAP}, l.lang) AS i,
+           SUM(l.n_tokens * {_UNIMAX_EPOCH_CAP})
+               OVER (ORDER BY l.n_tokens * {_UNIMAX_EPOCH_CAP}, l.lang) AS p
+    FROM langs l CROSS JOIN tot t
+),
+flagged AS (
+    SELECT *, cap * (n_langs - i + 1) <= budget - (p - cap) AS is_capped
+    FROM staged
+),
+k_row AS (
+    SELECT CAST(MAX(CASE WHEN is_capped THEN i ELSE 0 END) AS BIGINT) AS k,
+           CAST(MAX(CASE WHEN is_capped THEN p ELSE 0 END) AS BIGINT) AS p_k
+    FROM flagged
+),
+alloc AS (
+    SELECT f.*, k.k, k.p_k,
+           f.n_langs - k.k AS n_open,
+           f.budget - k.p_k AS leftover
+    FROM flagged f CROSS JOIN k_row k
+)
+SELECT lang, n_tokens, cap AS capacity, is_capped AS capped,
+       CAST(CASE WHEN is_capped THEN cap
+                 ELSE CAST(leftover // n_open AS BIGINT)
+                      + CASE WHEN i - k <= leftover % n_open THEN 1 ELSE 0 END
+            END AS BIGINT) AS allocated,
+       {sql_micro("CAST(CASE WHEN is_capped THEN cap ELSE CAST(leftover // n_open AS BIGINT) + CASE WHEN i - k <= leftover % n_open THEN 1 ELSE 0 END END AS DOUBLE) / n_tokens")} AS epochs_ppm
+FROM alloc
+"""
+
+
+register(
+    QuerySpec(
+        "unimax_mix",
+        q_unimax_mix,
+        _unimax_sql(),
+        "TD-mix,A5",
+        description="UniMax language-budget allocation: epoch-capped uniform waterfill, exact integer shares",
+    )
+)

@@ -144,3 +144,92 @@ register(
         "Okapi BM25 top-k relevance ranking over exploded inverted-index relation",
     )
 )
+
+
+# --- materialized inverted index ---------------------------------------------
+# BM25 above EXPLODES an ephemeral postings relation per query; a search
+# system materializes the index ONCE: term → sorted posting list
+# (doc_id, tf) + document frequency. Emitted here for the top-50 terms
+# by df (ties term-asc) with the posting list reduced to integer
+# audit columns (length, tf sum, md5 checksum over the sorted
+# "doc:tf" string) so the result stays bounded and hash-comparable
+# while still pinning EVERY posting byte-for-byte.
+#
+# 100 TB shape: one tokenize-explode + one (term, doc) hash agg for tf,
+# then ONE term-key agg building the posting column via
+# sort_array(collect_list(struct)) — the per-term reducer sees df(term)
+# entries, and the df cap on emitted terms bounds the driver result.
+# A production writer would partitionBy(term-bucket) the full postings
+# relation instead of checksumming; the plan is identical up to the
+# sink. Checksums, not floats, so engine parity is exact.
+
+_IDX_TOPK = 50
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    postings = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
+                ),
+            ).cast("binary")
+        ).alias("postings_md5"),
+    )
+    return global_topk(
+        postings, _IDX_TOPK, [F.desc("df"), F.asc("term")]
+    ).select("rank", "term", "df", "total_tf", "postings_md5")
+
+
+_INVIDX_SQL = f"""
+WITH tf AS (
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ) WHERE term <> ''
+    GROUP BY 1, 2
+),
+postings AS (
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id, tf)) AS postings_md5
+    FROM tf
+    GROUP BY term
+)
+SELECT rank, term, df, total_tf, postings_md5 FROM (
+    SELECT ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank, *
+    FROM postings
+) WHERE rank <= {_IDX_TOPK}
+"""
+
+
+register(
+    QuerySpec(
+        "inverted_index",
+        q_inverted_index,
+        _INVIDX_SQL,
+        "TXT-index,A3",
+        False,
+        "Materialized inverted index: per-term df/tf + md5-pinned sorted posting lists, top-50 by df",
+    )
+)

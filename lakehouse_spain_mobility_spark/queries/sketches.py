@@ -755,6 +755,24 @@ register(
 # guarantee the hash would catch if the bucketing ever diverged.
 
 
+_JSE_W = 16384  # join-size rows need w >> |A|·|B|/|A⋈B| for tight relative
+# error (the estimator's expected overcount is |A|·|B|/w); 4×16 Ki cells
+# is still a constant-size sketch
+
+
+def _jse_bucket(salt: int, spark_dialect: bool) -> str:
+    """Bucket of ``term`` under salted row ``salt``: 16-bit value from md5
+    hex chars 1-4 of 'salt:term', mod _JSE_W."""
+    if spark_dialect:
+        h = f"md5(cast(concat('{salt}:', term) as binary))"
+    else:
+        h = f"md5('{salt}:' || term)"
+    expr = _hexval(h, 1)
+    for pos in range(2, 5):
+        expr = f"(({expr}) * 16 + {_hexval(h, pos)})"
+    return f"(({expr}) % {_JSE_W})"
+
+
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     key = F.col("l_partkey").cast("string").alias("term")
@@ -777,7 +795,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[
                         F.struct(
                             F.lit(s).alias("salt"),
-                            F.expr(_cms_bucket(s, True)).alias("bucket"),
+                            F.expr(_jse_bucket(s, True)).alias("bucket"),
                         )
                         for s in range(_CMS_D)
                     ]
@@ -825,7 +843,7 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _join_size_sql() -> str:
     def cells(src: str) -> str:
         return "\n  UNION ALL ".join(
-            f"SELECT term, cnt, {s} AS salt, {_cms_bucket(s, False)} AS bucket FROM {src}"
+            f"SELECT term, cnt, {s} AS salt, {_jse_bucket(s, False)} AS bucket FROM {src}"
             for s in range(_CMS_D)
         )
 

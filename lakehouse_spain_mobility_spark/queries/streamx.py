@@ -260,3 +260,115 @@ register(
         "REAL streaming dedup: doubled arrivals through dropDuplicates state, rollup vs single-copy oracle",
     )
 )
+
+
+def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join through the REAL engine: the click
+    stream joins the purchase stream on user_id with a [0, 30 min]
+    event-time range — the attribution shape — under availableNow
+    replay, append mode, memory sink. Both sides carry 1-hour
+    watermarks, which is what BOUNDS the join state on an unbounded
+    run: a buffered click can be evicted once the purchase-side
+    watermark passes click_ts + 30 min (Spark's state-cleanup condition
+    derives from the range predicate). Inner-join emission does not
+    WAIT on the watermark, so the bounded availableNow replay emits
+    every match even though the final watermark never closes.
+
+    The DuckDB oracle runs the identical interval join batch-side; a
+    dropped or duplicated buffered row shifts the match set and fails
+    the hash. Sink size is |matches| (pair keys + integer delay), not
+    the corpus — measured 23 rows at sf0.01, linear in sf (trap #8f
+    sink discipline).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def reader():
+        if os.path.isdir(path):
+            s = spark.readStream.schema(schema).parquet(path)
+        else:
+            s = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            )
+        if isinstance(s.schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # withWatermark requires TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE
+        # on NTZ); the session tz is UTC and only ts DIFFERENCES leave this
+        # query, so the NTZ→LTZ reinterpretation cannot shift any output.
+        return s.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    clicks = (
+        reader()
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        reader()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    out = joined.select(
+        F.col("c_user").cast("bigint").alias("user_id"),
+        F.col("click_id").cast("bigint").alias("click_id"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:12]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name)
+
+
+_JOIN_EXEC_SQL = """
+SELECT CAST(c.user_id AS BIGINT) AS user_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.event_id AS BIGINT) AS purchase_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+register(
+    QuerySpec(
+        "stream_join_exec",
+        q_stream_join_exec,
+        _JOIN_EXEC_SQL,
+        "§2.10-exec,J3",
+        False,
+        "REAL stream-stream interval join (attribution): watermarked range join via availableNow vs batch oracle",
+    )
+)

@@ -223,6 +223,9 @@ SUITES: dict[str, list[str]] = {
         "weighted_sample", "stream_session_exec", "source_quota_cap",
         "stream_dedup_exec", "curriculum_order", "ivm_delta_agg",
         "k_anonymity_audit",
+        # round-4d additions: privacy/planner/mining/mixing/streaming/IR
+        "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
+        "unimax_mix", "stream_join_exec", "inverted_index",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

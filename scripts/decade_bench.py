@@ -41,6 +41,9 @@ QUERIES = [
     "kmv_distinct", "kmv_jaccard", "kn_bigram_lm", "entropy_diversity",
     "source_quota_cap", "stream_dedup_exec", "curriculum_order",
     "ivm_delta_agg", "k_anonymity_audit",
+    # round-4d operators: scale-measured from birth
+    "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
+    "unimax_mix", "stream_join_exec", "inverted_index",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Semantic invariants for the round-4d operators: l-diversity,
+CMS join-size estimation, frequent itemsets, UniMax allocation,
+stream-stream join execution, and the materialized inverted index.
+Exact cross-engine parity is covered by test_oracle_parity.py; these pin
+what the numbers MEAN (planted corpora, closed-form recomputation,
+batch-equivalence for the streaming path)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from lakehouse_spain_mobility_spark.queries import load_all
+from lakehouse_spain_mobility_spark.queries.tables import load
+
+from conftest import SF_DIR_ORACLE, SF_DIR_SMALL
+
+REG = load_all()
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    """A QID group whose rows all share one sensitive value must be
+    flagged even though it is large enough to pass k-anonymity."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = []
+    # 6 clicks, same QID group, ALL the same user -> l = 1 (homogeneous)
+    for i in range(6):
+        rows.append((i, base, 42, "click", 50.0, "{}"))
+    # 6 views, same QID group, 3 distinct users -> l = 3 (passes L=3)
+    for i in range(6):
+        rows.append((10 + i, base, 100 + (i % 3), "view", 50.0, "{}"))
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(ev).write.mode("overwrite").parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = {r["event_type"]: r.asDict()
+               for r in REG["l_diversity_audit"].build(spark, td).collect()}
+    assert got["click"]["n_low_diversity"] == 1
+    assert got["click"]["n_rows_exposed"] == 6
+    assert got["click"]["min_l"] == 1
+    assert got["view"]["n_low_diversity"] == 0
+    assert got["view"]["min_l"] == 3
+
+
+def test_join_size_estimate_exact_and_one_sided(spark):
+    row = REG["join_size_estimate"].build(spark, SF_DIR_ORACLE).collect()[0]
+    # the exact inner product must equal the materialized join count
+    li = load(spark, SF_DIR_ORACLE, "lineitem")
+    a = li.select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    true_pairs = a.join(b, "k").count()
+    assert row["exact_pairs"] == true_pairs
+    # Count-Min inner products never undercount
+    assert row["overcount"] >= 0
+    assert row["cms_estimate"] == row["exact_pairs"] + row["overcount"]
+    # CMS inner-product error bound: overcount <= e * |A| * |B| / w
+    na, nb = a.count(), b.count()
+    assert row["overcount"] <= 2.7182818 * na * nb / 16384
+
+
+def test_frequent_itemsets_supports_and_lift(spark):
+    rows = REG["frequent_itemsets"].build(spark, SF_DIR_ORACLE).collect()
+    assert 1 <= len(rows) <= 20
+    assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    li = load(spark, SF_DIR_ORACLE, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, SF_DIR_ORACLE, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.select("o").distinct().count()
+    top = rows[0]
+    assert top["item_a"] < top["item_b"]
+    # recompute the top pair's support directly
+    got = (
+        baskets.filter(F.col("item") == top["item_a"]).select("o")
+        .join(baskets.filter(F.col("item") == top["item_b"]).select("o"), "o")
+        .count()
+    )
+    assert top["support"] == got
+    for r in rows:
+        assert r["support"] * 500 >= n  # pair floor honored
+        assert r["lift_ppm"] > 0
+
+
+def test_unimax_allocation_waterfill_identities(spark):
+    rows = REG["unimax_mix"].build(spark, SF_DIR_ORACLE).collect()
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    total = d.agg(F.sum("n_chars")).collect()[0][0]
+    budget = total // 2
+    # exact conservation: integer shares sum to exactly the budget
+    assert sum(r["allocated"] for r in rows) == budget
+    for r in rows:
+        assert r["allocated"] <= r["capacity"]
+        assert r["capacity"] == 3 * r["n_tokens"]
+        if r["capped"]:
+            assert r["allocated"] == r["capacity"]
+    # waterfill property: every uncapped language gets at least as much
+    # as any capped one, and uncapped shares differ by at most 1
+    capped = [r["allocated"] for r in rows if r["capped"]]
+    open_ = [r["allocated"] for r in rows if not r["capped"]]
+    assert open_, "E=3, B=total/2 must leave at least one uncapped language"
+    if capped:
+        assert min(open_) >= max(capped)
+    assert max(open_) - min(open_) <= 1
+
+
+def test_stream_join_exec_matches_batch_join(spark):
+    got = sorted(
+        (r["user_id"], r["click_id"], r["purchase_id"], r["delay_us"])
+        for r in REG["stream_join_exec"].build(spark, SF_DIR_SMALL).collect()
+    )
+    ev = load(spark, SF_DIR_SMALL, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("p_ts"),
+    )
+    want = sorted(
+        (r["u"], r["click_id"], r["purchase_id"], r["delay_us"])
+        for r in c.join(
+            p,
+            (F.col("u") == F.col("pu"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(
+            "u", "click_id", "purchase_id",
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("delay_us"),
+        )
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_inverted_index_postings_checksum(spark):
+    rows = REG["inverted_index"].build(spark, SF_DIR_SMALL).collect()
+    assert rows and sorted(r["rank"] for r in rows) == list(
+        range(1, len(rows) + 1)
+    )
+    # recompute the top term's posting list driver-side
+    top = rows[0]
+    d = load(spark, SF_DIR_SMALL, "documents")
+    tf = {}
+    for r in d.select("doc_id", "text").collect():
+        k = sum(1 for t in (r["text"] or "").split(" ") if t == top["term"])
+        if k:
+            tf[r["doc_id"]] = k
+    assert top["df"] == len(tf)
+    assert top["total_tf"] == sum(tf.values())
+    postings = ",".join(f"{doc}:{tf[doc]}" for doc in sorted(tf))
+    assert top["postings_md5"] == hashlib.md5(postings.encode()).hexdigest()
+    # df ordering is the ranking contract
+    dfs = [r["df"] for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
