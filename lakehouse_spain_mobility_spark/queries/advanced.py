@@ -361,9 +361,19 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # ONE wide exchange for the whole query: repartition the joined
+    # (order, brand) projection on the basket key up front. hash(o)
+    # satisfies every downstream clustered requirement (distinct on
+    # (o,item), distinct on o, the pair self-join on o — the scd2_history
+    # subset-key idiom), and because all consumers share the identical
+    # exchange subtree, ReuseExchange materializes it once. NOT a
+    # localCheckpoint: a 57M-row checkpoint under the 8 GB local heap got
+    # its blocks evicted at sf10 and, with lineage truncated, the query
+    # died ("Block rdd_* does not exist") — exchange reuse keeps lineage.
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .repartition(F.col("o"))
         .distinct()
     )
     n_baskets = baskets.select("o").distinct().agg(

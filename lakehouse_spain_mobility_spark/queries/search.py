@@ -155,30 +155,51 @@ register(
 # "doc:tf" string) so the result stays bounded and hash-comparable
 # while still pinning EVERY posting byte-for-byte.
 #
-# 100 TB shape: one tokenize-explode + one (term, doc) hash agg for tf,
-# then ONE term-key agg building the posting column via
-# sort_array(collect_list(struct)) — the per-term reducer sees df(term)
-# entries, and the df cap on emitted terms bounds the driver result.
-# A production writer would partitionBy(term-bucket) the full postings
-# relation instead of checksumming; the plan is identical up to the
-# sink. Checksums, not floats, so engine parity is exact.
+# 100 TB shape: one tokenize-explode + one (term, doc) hash agg for tf;
+# df/total_tf come from a second map-side-combinable agg, the top-50
+# terms are chosen by heap top-k, and ONLY those terms pay the
+# collect_list posting build (semi-join pruned — buffering the full
+# vocabulary's postings in agg state was the measured sf10 OOM). A
+# production writer partitionBy(term-bucket)s the full postings relation
+# with sort-on-write instead of checksumming; the plan is identical up
+# to the sink. Checksums, not floats, so engine parity is exact.
 
 _IDX_TOPK = 50
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    # ONE wide exchange: repartition the token relation on term before
+    # the (term, doc) aggregation. hash(term) satisfies the tf agg, the
+    # stats agg AND the postings agg (subset-key clustering), and the two
+    # consumers of tf share the identical exchange subtree, so
+    # ReuseExchange materializes the shuffle once — no localCheckpoint
+    # (evictable under the 8 GB local heap), no second tokenize pass.
+    # Zipf skew on the hot terms is bounded locally; the 100 TB writer
+    # salts into term-buckets instead (see module note above).
     tf = (
         d.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
         )
         .filter(F.col("term") != "")
+        .repartition(F.col("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    postings = tf.groupBy("term").agg(
+    # Select the emitted terms BEFORE building posting strings: df/tf are
+    # cheap map-side-combinable aggs, and only the ≤50 surviving terms pay
+    # the collect_list. Building postings for the FULL vocabulary first
+    # buffered |distinct (term,doc)| structs in aggregation state — the
+    # measured sf10 failure (executor GC-locker thrash, run killed).
+    stats = tf.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    top = global_topk(stats, _IDX_TOPK, [F.desc("df"), F.asc("term")])
+    tf_top = tf.join(
+        F.broadcast(top.select("term")), "term", "left_semi"
+    )
+    postings = tf_top.groupBy("term").agg(
         F.md5(
             F.concat_ws(
                 ",",
@@ -195,9 +216,9 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("postings_md5"),
     )
-    return global_topk(
-        postings, _IDX_TOPK, [F.desc("df"), F.asc("term")]
-    ).select("rank", "term", "df", "total_tf", "postings_md5")
+    return top.join(F.broadcast(postings), "term").select(
+        "rank", "term", "df", "total_tf", "postings_md5"
+    )
 
 
 _INVIDX_SQL = f"""

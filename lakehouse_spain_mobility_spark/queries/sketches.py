@@ -777,14 +777,22 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     key = F.col("l_partkey").cast("string").alias("term")
 
-    counts_a = li.select(key).groupBy("term").agg(
-        F.count("*").cast("bigint").alias("cnt")
-    )
-    counts_b = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select(key)
+    # BOTH frequency vectors in one scan/agg (cnt_b is the conditional
+    # count), materialized once: the |keys|-sized relation feeds four
+    # consumers (two sketch builds + both sides of the exact join) —
+    # recomputing it four times re-scanned lineitem four times.
+    counts = (
+        li.select(key, (F.col("l_returnflag") == "R").alias("r"))
         .groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt_a"),
+            F.sum(F.col("r").cast("int")).cast("bigint").alias("cnt_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts_a = counts.select("term", F.col("cnt_a").alias("cnt"))
+    counts_b = counts.filter(F.col("cnt_b") > 0).select(
+        "term", F.col("cnt_b").alias("cnt")
     )
 
     def sketch(counts: DataFrame) -> DataFrame:
@@ -816,10 +824,10 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("dot"))
     )
     est = dots.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
-    exact = (
-        counts_a.withColumnRenamed("cnt", "na")
-        .join(counts_b.withColumnRenamed("cnt", "nb"), "term")
-        .agg(F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("exact_pairs"))
+    # the exact inner product needs no join at all once both vectors live
+    # on one row per key (cnt_b = 0 rows contribute nothing)
+    exact = counts.agg(
+        F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("bigint").alias("exact_pairs")
     )
     return (
         exact.crossJoin(est)  # two 1-row aggregates (A5 scalar pattern)
@@ -848,14 +856,14 @@ def _join_size_sql() -> str:
         )
 
     return f"""
-WITH counts_a AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+WITH counts AS (
+  SELECT CAST(l_partkey AS VARCHAR) AS term,
+         CAST(COUNT(*) AS BIGINT) AS cnt_a,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
   FROM lineitem GROUP BY 1
 ),
-counts_b AS (
-  SELECT CAST(l_partkey AS VARCHAR) AS term, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
-),
+counts_a AS (SELECT term, cnt_a AS cnt FROM counts),
+counts_b AS (SELECT term, cnt_b AS cnt FROM counts WHERE cnt_b > 0),
 cells_a AS ({cells("counts_a")}),
 cells_b AS ({cells("counts_b")}),
 sk_a AS (SELECT salt, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM cells_a GROUP BY 1, 2),
@@ -867,8 +875,7 @@ dots AS (
 ),
 est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM dots),
 exact AS (
-  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_pairs
-  FROM counts_a a JOIN counts_b b USING (term)
+  SELECT CAST(SUM(cnt_a * cnt_b) AS BIGINT) AS exact_pairs FROM counts
 )
 SELECT exact_pairs, cms_estimate,
        CAST(cms_estimate - exact_pairs AS BIGINT) AS overcount,
