@@ -46,6 +46,7 @@ BENCH2 = [
     # stream-stream join exec, inverted index)
     "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
     "unimax_mix", "stream_join_exec", "inverted_index",
+    "stream_stateful_exec", "boilerplate_removal",
 ]
 
 

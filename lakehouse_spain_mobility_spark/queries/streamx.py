@@ -384,3 +384,132 @@ register(
         "REAL stream-stream interval join (attribution): watermarked range join via availableNow vs batch oracle",
     )
 )
+
+
+def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful operator through the real engine:
+    ``applyInPandasWithState`` maintains per-event-type running
+    (count, id checksum, value-micro sum) across micro-batches —
+    the arbitrary-state API (cf. streaming/stateful.py for the
+    continuous form) under availableNow replay, update-mode memory
+    sink. Because update mode emits a row per (micro-batch, key), the
+    batch query reduces the sink to each key's FINAL state via
+    MAX(STRUCT(n, ...)) — n is monotone in batch order, so the max
+    struct is the last emission (the trap-#6/#7 unordered-max idiom).
+
+    Determinism: the state is pure integers — value enters as Spark-side
+    ``micro()`` (SQL ROUND half-away; NOT pandas/numpy round, which is
+    banker's and would diverge from the DuckDB oracle), so state-merge
+    and pandas-batch order cannot move a bit. A dropped or re-applied
+    micro-batch shifts n/checksum and fails the hash — the exactly-once
+    contract for CUSTOM state, complementing stream_dedup_exec's
+    built-in dropDuplicates state.
+    """
+    import os
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.deterministic import micro
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        src = spark.readStream.schema(schema).parquet(path)
+    else:
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    feed = src.select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        micro(F.col("value")).alias("vm"),
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("id_checksum", T.LongType()),
+            T.StructField("value_micros", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("ids", T.LongType()),
+            T.StructField("vms", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, ids, vms = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            ids += int(pdf["event_id"].sum()) if len(pdf) else 0
+            vms += int(pdf["vm"].sum()) if len(pdf) else 0
+        state.update((n, ids, vms))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "id_checksum": [ids],
+                "value_micros": [vms],
+            }
+        )
+
+    agg = feed.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stream_stateful_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    sink = spark.table(name)
+    final = sink.groupBy("event_type").agg(
+        F.max(
+            F.struct("n_events", "id_checksum", "value_micros")
+        ).alias("s")
+    )
+    return final.select(
+        "event_type",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.id_checksum").alias("id_checksum"),
+        F.col("s.value_micros").alias("value_micros"),
+    )
+
+
+_STATEFUL_EXEC_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_micros
+FROM events
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "stream_stateful_exec",
+        q_stream_stateful_exec,
+        _STATEFUL_EXEC_SQL,
+        "§2.10-exec,A1",
+        False,
+        "REAL custom stateful streaming: applyInPandasWithState integer running totals vs batch oracle",
+    )
+)

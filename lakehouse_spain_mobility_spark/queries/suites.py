@@ -226,6 +226,7 @@ SUITES: dict[str, list[str]] = {
         # round-4d additions: privacy/planner/mining/mixing/streaming/IR
         "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
         "unimax_mix", "stream_join_exec", "inverted_index",
+        "stream_stateful_exec", "boilerplate_removal",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

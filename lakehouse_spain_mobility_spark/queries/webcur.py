@@ -462,3 +462,153 @@ register(
         description="PMI collocations: top-20 bigrams by pointwise mutual information, count >= 5",
     )
 )
+
+
+# --- per-source boilerplate (template) removal --------------------------------
+# Public method (C4's "boilerplate" pass / jusText motivation): a line
+# that recurs across MANY pages of the same site is template chrome
+# (nav, footer, cookie banner), not content — classification is
+# per-source frequency, NOT global dedup (q_line_dedup keeps a line's
+# FIRST occurrence; this drops EVERY occurrence of a template line while
+# an identical line on a different, smaller source survives). Same fixed
+# segmentation as line_dedup (_LINE_TOKENS words per line).
+#
+# Rule: drop line L from source S iff S has >= _BP_MIN_DOCS docs and L
+# appears in > _BP_PCT% of S's docs (distinct-doc frequency, integer
+# cross-multiplied — no float thresholds).
+#
+# 100 TB shape: presence = ONE distinct aggregation on (source, line
+# hash, doc) — map-side partials absorb the template lines precisely
+# because they repeat; the boilerplate set is a (source, lh) relation
+# joined back with a null-flag left join on the same key. Nothing is
+# ever pairwise; per-source doc counts are a |sources|-row broadcast.
+
+_BP_PCT = 25
+_BP_MIN_DOCS = 4
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    docs = d.select("doc_id", "source", F.explode(F.array(toks)).alias("w"))
+    n_lines = F.ceil(F.size("w") / F.lit(_LINE_TOKENS)).cast("int")
+    lines = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1))
+        ).alias("line_no"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        "line_no",
+        F.array_join(
+            F.slice(F.col("w"), F.col("line_no") * _LINE_TOKENS + 1, _LINE_TOKENS), " "
+        ).alias("line"),
+    ).withColumn("lh", F.md5(F.col("line").cast("binary")))
+
+    src_docs = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    presence = (
+        lines.select("source", "lh", "doc_id")
+        .distinct()
+        .groupBy("source", "lh")
+        .agg(F.count("*").cast("bigint").alias("n_in"))
+    )
+    boiler = (
+        presence.join(F.broadcast(src_docs), "source")
+        .filter(
+            (F.col("n_docs") >= _BP_MIN_DOCS)
+            & (F.col("n_in") * 100 > F.lit(_BP_PCT) * F.col("n_docs"))
+        )
+        .select("source", "lh")
+        .withColumn("is_boiler", F.lit(True))
+    )
+    marked = lines.join(boiler, ["source", "lh"], "left")
+    kept = marked.filter(F.col("is_boiler").isNull())
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("clean_hash"),
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.size(toks) / F.lit(_LINE_TOKENS)).cast("bigint").alias("n_lines"),
+    )
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept_lines"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_boiler_lines"),
+        F.coalesce(F.col("clean_hash"), F.md5(F.lit("").cast("binary"))).alias(
+            "clean_hash"
+        ),
+    )
+
+
+_BP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), linesx AS (
+  SELECT doc_id, source,
+         unnest(range(0, CAST(CEIL(len(w) / {_LINE_TOKENS}.0) AS BIGINT))) AS line_no,
+         w
+  FROM toks
+), hashed AS (
+  SELECT doc_id, source, line_no,
+         md5(array_to_string(list_slice(w, line_no * {_LINE_TOKENS} + 1,
+                                        line_no * {_LINE_TOKENS} + {_LINE_TOKENS}), ' ')) AS lh,
+         array_to_string(list_slice(w, line_no * {_LINE_TOKENS} + 1,
+                                    line_no * {_LINE_TOKENS} + {_LINE_TOKENS}), ' ') AS line
+  FROM linesx
+), src_docs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+), presence AS (
+  SELECT source, lh, CAST(COUNT(*) AS BIGINT) AS n_in
+  FROM (SELECT DISTINCT source, lh, doc_id FROM hashed) GROUP BY 1, 2
+), boiler AS (
+  SELECT p.source, p.lh
+  FROM presence p JOIN src_docs s USING (source)
+  WHERE s.n_docs >= {_BP_MIN_DOCS} AND p.n_in * 100 > {_BP_PCT} * s.n_docs
+), kept AS (
+  SELECT h.* FROM hashed h
+  LEFT JOIN boiler b ON h.source = b.source AND h.lh = b.lh
+  WHERE b.lh IS NULL
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
+         md5(string_agg(line, ' ' ORDER BY line_no)) AS clean_hash
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, t.source,
+       CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines,
+       CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT)
+         - CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_boiler_lines,
+       COALESCE(p.clean_hash, md5('')) AS clean_hash
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+register(
+    QuerySpec(
+        "boilerplate_removal",
+        q_boilerplate_removal,
+        _BP_SQL,
+        "TXT-boiler,TD-webcur",
+        False,
+        "Per-source template-line removal: distinct-doc frequency rule, reassembled clean-text md5",
+    )
+)

@@ -44,6 +44,7 @@ QUERIES = [
     # round-4d operators: scale-measured from birth
     "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
     "unimax_mix", "stream_join_exec", "inverted_index",
+    "stream_stateful_exec", "boilerplate_removal",
 ]
 
 

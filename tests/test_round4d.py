@@ -170,3 +170,58 @@ def test_inverted_index_postings_checksum(spark):
     # df ordering is the ranking contract
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_stream_stateful_exec_matches_batch_integers(spark):
+    from lakehouse_spain_mobility_spark.functions.deterministic import micro
+
+    got = {r["event_type"]: r.asDict()
+           for r in REG["stream_stateful_exec"].build(spark, SF_DIR_SMALL).collect()}
+    ev = load(spark, SF_DIR_SMALL, "events")
+    want = {r["event_type"]: r.asDict()
+            for r in ev.groupBy("event_type").agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum("event_id").cast("bigint").alias("id_checksum"),
+                F.sum(micro(F.col("value"))).cast("bigint").alias("value_micros"),
+            ).collect()}
+    assert set(got) == set(want) and len(got) == 5
+    for k in want:
+        for c in ("n_events", "id_checksum", "value_micros"):
+            assert got[k][c] == want[k][c]  # integers: bit-equal or bust
+
+
+def test_boilerplate_removal_planted_template(spark):
+    """Source with >= 4 docs sharing a template line drops it everywhere;
+    the same line on a 2-doc source survives (per-source rule, not
+    global dedup)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    template = " ".join(f"t{i}" for i in range(15))  # exactly one line
+    rows = []
+    for i in range(5):  # source A: template + unique second line
+        rows.append((i, f"{template} u{i}", "en", "srcA", 1))
+    for i in range(2):  # source B: template only, below min-docs
+        rows.append((10 + i, template, "en", "srcB", 1))
+    rows.append((20, "", "en", "srcB", 0))  # empty doc
+    docs = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        got = {r["doc_id"]: r.asDict()
+               for r in REG["boilerplate_removal"].build(spark, td).collect()}
+    for i in range(5):
+        assert got[i]["n_lines"] == 2
+        assert got[i]["n_boiler_lines"] == 1  # template dropped
+        assert got[i]["clean_hash"] == hashlib.md5(f"u{i}".encode()).hexdigest()
+    for i in (10, 11):
+        assert got[i]["n_boiler_lines"] == 0  # 2-doc source keeps it
+        assert got[i]["clean_hash"] == hashlib.md5(template.encode()).hexdigest()
+    assert got[20]["n_lines"] == 0
+    assert got[20]["clean_hash"] == hashlib.md5(b"").hexdigest()
