@@ -350,3 +350,63 @@ def test_curriculum_order_cdf_window_is_value_domain_bounded(spark):
     assert parted, specs
     assert pi.count_broadcast_joins(df) >= 2
     assert "CartesianProduct" not in plan or "total" in plan  # scalar-broadcast crossJoin only
+
+
+def test_frequent_itemsets_no_cartesian_single_fact_exchange(spark):
+    """The basket self-join and every aggregate ride the ONE repartition
+    on the basket key (subset-key clustering, SCALE.md §8g); the dims
+    broadcast; no nested loop anywhere (the 1-row scalar cross joins
+    plan as broadcast NLJ and are bounded — fact joins must not)."""
+    df = REG["frequent_itemsets"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    # part-dim broadcast, pair join is an equi join on o
+    assert pi.count_broadcast_joins(df) >= 3  # part dim + freq/support joins
+    # nested loops allowed ONLY as 1-row scalar crosses (n_baskets is
+    # consumed by several filters; each consumer re-plans the cross) — a
+    # degraded equi join would print Inner/LeftOuter, never Cross
+    import re as _re
+    nlj_lines = [ln for ln in plan.splitlines() if "NestedLoopJoin" in ln]
+    assert all("Cross" in ln for ln in nlj_lines), plan
+    # every wide exchange hashes on the basket key o or a tiny agg key —
+    # never on (o, item) (the repartition(o) satisfies the dedup agg)
+    import re
+    multi = [m for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+             if m.count("#") > 1 and m.split(",")[0].strip().startswith("o")]
+    assert not multi, multi
+
+
+def test_inverted_index_prunes_before_postings(spark):
+    """The collect_list posting build must sit ABOVE the top-50 semi join
+    (vocabulary-wide posting buffering was the measured sf10 OOM), and
+    the term relation shuffles once: hash(term), no (term, doc) wide
+    exchange."""
+    df = REG["inverted_index"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    lower = plan.lower()
+    # semi join against the broadcast top-50 term list exists
+    assert "leftsemi" in lower.replace(" ", ""), plan
+    # collect_list appears exactly once (the pruned postings agg)
+    assert lower.count("collect_list") >= 1
+    import re
+    multi = [m for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+             if m.count("#") > 1]
+    assert not multi, multi
+
+
+def test_join_size_estimate_sketch_joins_bounded(spark):
+    """Sketch-sketch and scalar joins only: the |keys| count relation is
+    checkpointed once, the 2048/65536-cell sketch join is tiny, and no
+    join ever touches two fact-sized sides."""
+    df = REG["join_size_estimate"].build(spark, SF_DIR_ORACLE)
+    # 1-row scalar cross joins are the only nested loops
+    assert pi.count_nested_loop_joins(df) <= 2
+    # no sort-merge join: every real join side is sketch- or scalar-sized
+    assert pi.count_sortmerge_joins(df) == 0
+
+
+def test_boilerplate_flag_join_on_source_and_hash(spark):
+    """The template set joins back on (source, lh) — an equi join,
+    never a pair enumeration; source doc counts broadcast."""
+    df = REG["boilerplate_removal"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_nested_loop_joins(df) == 0
+    assert pi.count_broadcast_joins(df) >= 1
