@@ -390,6 +390,11 @@ def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = baskets.join(F.broadcast(freq.select("item")), "item", "left_semi")
     pairs = (
         fb.select("o", F.col("item").alias("item_a"))
+        # merge hint: AQE's shuffled-hash conversion builds a per-partition
+        # hash map of a fact-sized side (no spill path) — OOM'd the 8 GB
+        # local heap at sf30. Sort-merge spills; both sides are already
+        # hash(o)-clustered so the sorts are partition-local.
+        .hint("merge")
         .join(fb.select("o", F.col("item").alias("item_b")), "o")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")

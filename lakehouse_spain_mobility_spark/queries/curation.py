@@ -63,7 +63,13 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-span accounting: token count, number of
     maximal duplicated spans, tokens covered by them, and coverage ppm."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens_col().alias("l"))
+    # Spread the tokenize+explode across all cores BEFORE the checkpoint:
+    # the few-file scan otherwise pins the ~100× gram expansion to the
+    # scan's partition count (measured at sf30: 4 partitions, 4.4 GiB
+    # cached blocks spilling to disk, 28 idle cores — trap #11).
+    toks = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", _tokens_col().alias("l")
+    )
     # Guard: Spark's sequence(1, stop) is DESCENDING for stop < 1, so an
     # under-length document must yield an empty start list explicitly.
     starts = F.when(
@@ -79,9 +85,15 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "binary"
             )
         ).alias("gh"),
-    ).localCheckpoint(eager=False)  # two consumers (dup agg + mark-back semi
-    # join) would otherwise each re-run the explode+md5 pass (the
-    # minhash_recall shared-subplan pattern, PERF.md round 3)
+    ).repartition(F.col("gh"))
+    # ^ ONE spill-safe exchange instead of the round-3 localCheckpoint:
+    # the checkpoint materialized the ~100×-exploded gram relation in the
+    # block manager (measured sf30: 4 × 4.4 GiB deserialized blocks; with
+    # 32-way parallelism the concurrent materialization OOM'd the 8 GB
+    # heap outright — SCALE.md §8g). Both consumers (the dup agg and the
+    # mark-back semi join) require hash(gh), so ReuseExchange shuffles
+    # the grams once and everything downstream is exchange-free; the
+    # shuffle streams and spills, it never holds the relation.
     # One hash aggregation marks cross-document grams; no pair enumeration.
     # "occurs in >= 2 distinct documents" ≡ min(doc_id) != max(doc_id) —
     # COUNT(DISTINCT doc_id) would expand to a two-level aggregate and
