@@ -47,6 +47,7 @@ BENCH2 = [
     "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
     "unimax_mix", "stream_join_exec", "inverted_index",
     "stream_stateful_exec", "boilerplate_removal",
+    "python_datasource_scan",
 ]
 
 

@@ -563,3 +563,77 @@ for _spec in [
               "Native bbox containment predicate"),
 ]:
     register(_spec)
+
+
+# --- custom Python DataSource scan (Spark-4 connector surface) ----------------
+# End-to-end driver signal for sources/pydatasource.py: register the
+# synthetic-ledger source, scan it with predicates Catalyst pushes into
+# the reader (entry_id range -> partition-range pruning; bucket equality
+# -> strided generation), roll up per month. The DuckDB twin rebuilds
+# the ledger from the same closed form over range(), so a wrong stride,
+# a dropped partition slice, or an off-by-one in the pushed bounds all
+# fail the hash. sf-independent by design — this row checks the
+# CONNECTOR surface, not data scaling (the parquet family covers that).
+
+_LEDGER_LO = 10_000
+_LEDGER_HI = 60_000  # exclusive
+_LEDGER_BUCKET = 3
+
+
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import pydatasource as pds
+
+    try:
+        pds.register(spark)
+    except Exception:
+        pass  # already registered in this session — registration is idempotent
+    # runtime-settable in Spark 4.1; when off, Spark evaluates the same
+    # predicates post-scan and the result is identical (invariance is
+    # pinned by tests/test_round4d.py)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    led = spark.read.format("synthetic_ledger").load()
+    picked = led.filter(
+        (F.col("entry_id") >= _LEDGER_LO)
+        & (F.col("entry_id") < _LEDGER_HI)
+        & (F.col("bucket") == _LEDGER_BUCKET)
+    )
+    return picked.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_entries"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+        F.min("entry_id").cast("bigint").alias("first_id"),
+        F.max("entry_id").cast("bigint").alias("last_id"),
+    )
+
+
+_PYDS_SQL = f"""
+WITH ledger AS (
+    SELECT range AS entry_id,
+           CAST(range % 16 AS INT) AS bucket,
+           (range * 97) % 10000 AS amount_cents,
+           DATE '2024-01-01' + CAST(range % 365 AS INT) AS day
+    FROM range(0, 100000)
+)
+SELECT strftime(day, '%Y-%m') AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_entries,
+       CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       CAST(MIN(entry_id) AS BIGINT) AS first_id,
+       CAST(MAX(entry_id) AS BIGINT) AS last_id
+FROM ledger
+WHERE entry_id >= {_LEDGER_LO} AND entry_id < {_LEDGER_HI}
+  AND bucket = {_LEDGER_BUCKET}
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "python_datasource_scan",
+        q_python_datasource_scan,
+        _PYDS_SQL,
+        "S-pyds,§2.1",
+        False,
+        "Custom Python DataSource: partitioned synthetic-ledger scan with range+stride filter pushdown",
+    )
+)

@@ -227,6 +227,7 @@ SUITES: dict[str, list[str]] = {
         "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
         "unimax_mix", "stream_join_exec", "inverted_index",
         "stream_stateful_exec", "boilerplate_removal",
+        "python_datasource_scan",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [
