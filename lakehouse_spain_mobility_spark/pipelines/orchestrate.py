@@ -49,13 +49,21 @@ def _record(wh: Warehouse, task: str, key: str, attempt: int, status: str, error
 
 
 def last_status(wh: Warehouse, task: str, key: str) -> str | None:
-    """Latest recorded status for (task, key), by attempt number."""
+    """Latest recorded status for (task, key).
+
+    Ordered by the ledger timestamp first, attempt second: attempt numbers
+    restart at 1 on every ``run_with_retries`` call, so a key that failed at
+    attempt 3 in an earlier sweep and succeeded at attempt 1 of a later
+    re-run must report ``success`` (ordering by attempt alone replayed the
+    stale failure and made ``backfill`` re-execute completed work forever).
+    Attempt breaks same-timestamp ties within one run.
+    """
     if not wh.table_exists(RUN_LEDGER):
         return None
     rows = (
         wh.read(RUN_LEDGER)
         .filter((F.col("task") == task) & (F.col("key") == key))
-        .orderBy(F.desc("attempt"))
+        .orderBy(F.desc("ts"), F.desc("attempt"))
         .limit(1)
         .collect()
     )

@@ -256,3 +256,16 @@ def test_orchestration_retries_and_backfill(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         backfill(wh, "daily", ["d1"], task, max_active_tasks=4)
+
+    # fail-then-SUCCEED across runs: the key that failed above (ledger holds
+    # rows up to attempt 2 'failed') is cured; a later sweep must see the
+    # attempt-1 'success' as latest (ts-ordered — attempt numbers reset per
+    # run, so attempt-ordering replayed the stale failure) and skip the key
+    # on every subsequent sweep instead of re-executing it forever.
+    ran.clear()
+    statuses3 = backfill(wh, "daily", ["d1", "d2", "d3"], lambda k: k, max_retries=0)
+    assert statuses3 == {"d1": "skipped", "d2": "success", "d3": "skipped"}
+    assert last_status(wh, "daily", "d2") == "success"
+    statuses4 = backfill(wh, "daily", ["d2"], task, max_retries=0)
+    assert statuses4 == {"d2": "skipped"}
+    assert ran == []  # cured key never re-executed the (poison) task
