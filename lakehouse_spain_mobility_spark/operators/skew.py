@@ -129,8 +129,20 @@ def quota_keep_by_hash(
             cum += n
         cuts.append((b, bp, resid))  # bp None -> bucket under quota, keep all
     spark = df.sparkSession
+    # Boundary-table bucket field mirrors the source column's type — a
+    # string/domain bucket (the natural domain-capping case) must not hit a
+    # hardcoded `long` at createDataFrame.
+    from pyspark.sql.types import LongType, StructField, StructType, StringType
+
     cut_df = spark.createDataFrame(
-        cuts, f"{bucket_col} long, _bp string, _resid long"
+        cuts,
+        StructType(
+            [
+                StructField(bucket_col, df.schema[bucket_col].dataType),
+                StructField("_bp", StringType()),
+                StructField("_resid", LongType()),
+            ]
+        ),
     )
     joined = t.join(F.broadcast(cut_df), bucket_col)
     below = joined.filter(F.col("_bp").isNull() | (F.col("_p") < F.col("_bp")))

@@ -28,12 +28,13 @@ from pyspark.sql import types as T
 
 from ..functions.deterministic import sql_dsum, xdsum
 from . import QuerySpec, register
+from .tables import ensure_read_convention
 
 
 def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -103,7 +104,7 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``diff_us >= gap_us`` island rule."""
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):
@@ -193,7 +194,7 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
@@ -282,7 +283,7 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
 
@@ -412,7 +413,7 @@ def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.deterministic import micro
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     if os.path.isdir(path):

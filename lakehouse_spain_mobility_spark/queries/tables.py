@@ -22,13 +22,32 @@ TABLE_NAMES = (
 )
 
 
+def ensure_read_convention(spark: SparkSession) -> None:
+    """Pin the engine's session-level read conventions, idempotently.
+
+    ``build_session`` already sets these at construction; this helper exists
+    for foreign sessions (the external driver builds its own). They are
+    deliberately NOT save/restored around individual queries: Spark reads
+    conf at *execution* time of a lazy plan (and at every micro-batch of a
+    stream), so restoring after a query function returns would silently
+    re-plan the still-uncollected DataFrame under the old semantics. Both
+    values are engine-wide conventions, constant for the session:
+
+    - UTC session timezone — oracle parity (DuckDB timestamps are naive; a
+      non-UTC session TZ shifts ``to_date()``/``hour()``),
+    - ``nanosAsLong`` — TIMESTAMP(NANOS) parquet (the testdata ``events``
+      table) reads as long + explicit µs truncation instead of erroring;
+      every reader in this engine wants exactly that, and files without the
+      NANOS annotation are unaffected.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(name)
-    # Oracle parity requires UTC timestamp semantics regardless of how the
-    # caller built the session (DuckDB timestamps are naive; a non-UTC
-    # session TZ would shift to_date()/hour() results).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_read_convention(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return _normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
@@ -61,7 +80,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_read_convention(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # nanosAsLong only fires on TIMESTAMP(NANOS) files; a re-staged copy
     # (tests, downstream tables) already reads as a real timestamp and

@@ -753,9 +753,19 @@ def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
 
     from ..catalog import Warehouse
 
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    # Cache key includes the source mtime: regenerated data under the same
+    # path must rebuild the layout, not serve the stale table for the
+    # session lifetime.
+    src = f"{sf_dir}/lineitem.parquet"
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", f"{sf_dir.strip('/')}_{mtime}")
     name = f"ps_lineitem_b{n_buckets}_{tag}"
     if spark.catalog.tableExists(name):
+        # idempotent engine convention (set at build_session; re-pinned here
+        # for foreign sessions) — never re-plan a bucketed scan away
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         return spark.table(name)
     li = load(spark, sf_dir, "lineitem").select(
@@ -868,20 +878,21 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str, lineitem=None) -> DataFrame:
     # fixed-point micros are integers, so Σ of group sums ≡ the row-level
     # Σ the oracle computes — exact while each part's micro-sum stays in
     # the double-exact range < 2^53, i.e. part values < ~9e9 units;
-    # dsum_rollup_guard raises loudly past that bound) taken
-    # as a global window over the part-level frame — ONE execution of the
-    # ps/nat_ps subtree instead of the two a separate .agg() branch would
-    # trigger. The windowed partition holds only part-level rows
-    # (dimension-sized), never lineitems.
-    from pyspark.sql import Window
+    # dsum_rollup_guard raises loudly past that bound), taken as a 1-row
+    # agg crossJoin(broadcast)-ed back. Both consumers of per_part share
+    # the identical Exchange(hash(ps_partkey)) subtree, so ReuseExchange
+    # materializes the ps/nat_ps pipeline ONCE; only the part-level final
+    # aggregation above the shuffle runs per consumer. (The previous form
+    # computed the total as Window.partitionBy() over the part-level frame
+    # — dimension-sized, but still a one-task pass over ~20M rows at 100×;
+    # VERDICT r4 #4.)
+    from ..functions.deterministic import dsum_rollup_guard
 
-    from ..functions.deterministic import dsum_over, dsum_rollup_guard
-
-    w_all = Window.partitionBy()
+    total = per_part.agg(
+        dsum(dsum_rollup_guard(F.col("part_value"))).alias("total_value")
+    )
     return (
-        per_part.withColumn(
-            "total_value", dsum_over(dsum_rollup_guard(F.col("part_value")), w_all)
-        )
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value") > F.lit(0.001) * F.col("total_value"))
         .select(
             "ps_partkey",

@@ -25,6 +25,7 @@ def s3a_conf(
     endpoint: str,
     path_style: bool = True,
     upload_buffer: str = "disk",
+    anonymous: bool | None = None,
 ) -> dict[str, str]:
     """S3A warehouse configuration — the Spark mirror of the reference's
     ``connect_ducklake`` S3 attach (``dags/ducklake_utils.py:31-141``:
@@ -32,16 +33,25 @@ def s3a_conf(
 
     Pass to ``build_session(extra_conf=s3a_conf(...))``; credentials ride
     the standard provider chain (env/instance profile), never literals.
-    Executing against a live endpoint additionally needs the hadoop-aws +
-    AWS SDK artifacts on the classpath (a deploy-time jar choice; this
-    sandbox ships none, so the smoke test asserts the conf surface and the
-    artifact path runs against a moto-mocked S3 instead)."""
+    ``anonymous`` is the explicit credential-mode switch for unauthenticated
+    local test endpoints (moto/minio) — inferring it from the endpoint
+    string ('localhost' yes, '127.0.0.1' no) was a confusing auth-failure
+    trap, so the string probe survives only as the *default* when the
+    caller doesn't say. Executing against a live endpoint additionally
+    needs the hadoop-aws + AWS SDK artifacts on the classpath (a
+    deploy-time jar choice; this sandbox ships none, so the smoke test
+    asserts the conf surface and the artifact path runs against a
+    moto-mocked S3 instead)."""
+    if anonymous is None:
+        anonymous = endpoint.startswith(
+            ("http://localhost", "http://127.0.0.1", "http://[::1]")
+        )
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,
         "spark.hadoop.fs.s3a.path.style.access": "true" if path_style else "false",
         "spark.hadoop.fs.s3a.aws.credentials.provider": (
             "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
-            if endpoint.startswith("http://localhost")
+            if anonymous
             else "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
         ),
         "spark.hadoop.fs.s3a.connection.ssl.enabled": (
@@ -87,6 +97,15 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # Match DuckDB's NULL (not NaN) for 1-row STDDEV_SAMP (SURVEY §7.3).
         .config("spark.sql.legacy.statisticalAggregate", "false")
+        # Engine-wide read conventions, fixed at construction so no query
+        # ever changes planning semantics mid-session (see
+        # queries/tables.py:ensure_read_convention for the rationale):
+        # TIMESTAMP(NANOS) parquet reads as long (+ explicit µs truncation)
+        # instead of erroring, and bucketed table scans are never silently
+        # re-planned into plain scans (the zero-Exchange layouts exist
+        # precisely to be used).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -410,3 +410,17 @@ def test_boilerplate_flag_join_on_source_and_hash(spark):
     df = REG["boilerplate_removal"].build(spark, SF_DIR_ORACLE)
     assert pi.count_nested_loop_joins(df) == 0
     assert pi.count_broadcast_joins(df) >= 1
+
+
+def test_tpch_q11_total_is_reused_exchange_not_global_window(spark):
+    """VERDICT r4 #4: Q11's global total must come from a 1-row agg
+    crossJoin(broadcast)-ed back — no empty-partitionBy Window anywhere
+    (the old form one-task-scanned the whole part-level frame at 100×) —
+    and both consumers of per_part must share ONE materialized
+    Exchange(hash(ps_partkey)) via ReuseExchange, so the ps pipeline
+    never executes twice."""
+    df = REG["tpch_q11"].build(spark, SF_DIR_ORACLE)
+    df.collect()  # AQE finalizes reuse at runtime
+    plan = pi.executed_plan(df)
+    assert "Window" not in plan, plan[:2000]
+    assert "ReusedExchange" in plan, plan[:3000]
