@@ -48,6 +48,8 @@ BENCH2 = [
     "unimax_mix", "stream_join_exec", "inverted_index",
     "stream_stateful_exec", "boilerplate_removal",
     "python_datasource_scan",
+    # round-5: candidate-bounded bitext (queries/similarity.py)
+    "bitext_margin_lsh",
 ]
 
 

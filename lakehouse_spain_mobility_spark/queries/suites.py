@@ -228,6 +228,8 @@ SUITES: dict[str, list[str]] = {
         "unimax_mix", "stream_join_exec", "inverted_index",
         "stream_stateful_exec", "boilerplate_removal",
         "python_datasource_scan",
+        # round-5 fold-in (VERDICT r4 #2): the candidate-bounded bitext path
+        "bitext_margin_lsh",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -424,3 +424,13 @@ def test_tpch_q11_total_is_reused_exchange_not_global_window(spark):
     plan = pi.executed_plan(df)
     assert "Window" not in plan, plan[:2000]
     assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_bitext_margin_lsh_no_pair_enumeration(spark):
+    """The candidate-bounded bitext path must never enumerate the A×B
+    grid: candidates come from an equi-join on (band, sg) — no
+    CartesianProduct, no BroadcastNestedLoop anywhere in the plan."""
+    df = REG["bitext_margin_lsh"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert pi.count_nested_loop_joins(df) == 0
