@@ -175,35 +175,77 @@ def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle does the SAME work as the Spark kernels, not a closed-form
+# shortcut (VERDICT r4 #3: the old rectangle-algebra twin made the decade
+# ratio compare a real WKT parse+shoelace kernel against a constant): it
+# SERIALIZES each rectangle to the identical WKT text, PARSES the ring
+# back out of the string, and runs the 5-vertex shoelace sums
+# (area = Σcross/2, centroid = Σ(xi+xj)·cross / (3·Σcross)) plus
+# vertex-extent mins/maxes over the parsed coordinate lists. Integer
+# coordinates keep every cross term and partial sum an exactly-
+# representable double, so the per-part values — and therefore the
+# dissolve aggregation — stay bit-identical to the kernel's despite the
+# different summation orders.
+_DISSOLVE_RING = (
+    "list_transform("
+    "string_split(replace(replace(geometry, 'POLYGON ((', ''), '))', ''), ', '),"
+    " p -> [CAST(string_split(p, ' ')[1] AS DOUBLE),"
+    " CAST(string_split(p, ' ')[2] AS DOUBLE)])"
+)
+
+
+def _shoelace(term: str) -> str:
+    """Σ over ring edges i of ``term`` (cross = xi·yj − xj·yi available)."""
+    body = term.format(
+        xi="ring[i][1]", yi="ring[i][2]", xj="ring[i+1][1]", yj="ring[i+1][2]",
+        cross="(ring[i][1]*ring[i+1][2] - ring[i+1][1]*ring[i][2])",
+    )
+    return (
+        f"list_reduce(list_transform(generate_series(1, len(ring)-1),"
+        f" i -> {body}), (a, b) -> a + b)"
+    )
+
+
 _DISSOLVE_SQL = f"""
 WITH rect AS (
     SELECT CAST(c_custkey % 25 AS BIGINT) AS grp,
-           CAST((c_custkey % 50) * 100 AS DOUBLE) AS x0,
-           CAST((c_custkey % 37) * 100 AS DOUBLE) AS y0,
-           CAST((c_custkey % 50) * 100 + 100 + (c_custkey % 7) * 20 AS DOUBLE) AS x1,
-           CAST((c_custkey % 37) * 100 + 100 + (c_custkey % 11) * 10 AS DOUBLE) AS y1
+           format('POLYGON (({{}} {{}}, {{}} {{}}, {{}} {{}}, {{}} {{}}, {{}} {{}}))',
+                  (c_custkey % 50) * 100, (c_custkey % 37) * 100,
+                  (c_custkey % 50) * 100 + 100 + (c_custkey % 7) * 20, (c_custkey % 37) * 100,
+                  (c_custkey % 50) * 100 + 100 + (c_custkey % 7) * 20,
+                  (c_custkey % 37) * 100 + 100 + (c_custkey % 11) * 10,
+                  (c_custkey % 50) * 100, (c_custkey % 37) * 100 + 100 + (c_custkey % 11) * 10,
+                  (c_custkey % 50) * 100, (c_custkey % 37) * 100) AS geometry
     FROM customer
 ),
+parsed AS (SELECT grp, {_DISSOLVE_RING} AS ring FROM rect),
 part AS (
-    -- shoelace of the CCW rectangle ring: area (x1-x0)(y1-y0) exactly,
-    -- centroid = midpoint exactly (same divisions the numpy kernel does)
     SELECT grp,
-           (x1 - x0) * (y1 - y0) AS a,
-           (x0 + x1) / 2.0 AS cx,
-           (y0 + y1) / 2.0 AS cy,
-           x0, y0, x1, y1
-    FROM rect
+           {_shoelace('{cross}')} / 2.0 AS a,
+           {_shoelace('({xi} + {xj}) * {cross}')} AS cx6,
+           {_shoelace('({yi} + {yj}) * {cross}')} AS cy6,
+           {_shoelace('{cross}')} AS s2,
+           list_min(list_transform(ring, p -> p[1])) AS xmin,
+           list_min(list_transform(ring, p -> p[2])) AS ymin,
+           list_max(list_transform(ring, p -> p[1])) AS xmax,
+           list_max(list_transform(ring, p -> p[2])) AS ymax
+    FROM parsed
+),
+cent AS (
+    SELECT grp, a, cx6 / (3.0 * s2) AS cx, cy6 / (3.0 * s2) AS cy,
+           xmin, ymin, xmax, ymax
+    FROM part
 )
 SELECT grp,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(a) AS BIGINT) AS area_sum,
        {sql_micro('SUM(cx * a) / SUM(a)')} AS cx_micro,
        {sql_micro('SUM(cy * a) / SUM(a)')} AS cy_micro,
-       CAST(MIN(x0) AS BIGINT) AS xmin,
-       CAST(MIN(y0) AS BIGINT) AS ymin,
-       CAST(MAX(x1) AS BIGINT) AS xmax,
-       CAST(MAX(y1) AS BIGINT) AS ymax
-FROM part GROUP BY grp
+       CAST(MIN(xmin) AS BIGINT) AS xmin,
+       CAST(MIN(ymin) AS BIGINT) AS ymin,
+       CAST(MAX(xmax) AS BIGINT) AS xmax,
+       CAST(MAX(ymax) AS BIGINT) AS ymax
+FROM cent GROUP BY grp
 """
 
 
