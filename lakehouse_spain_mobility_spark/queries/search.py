@@ -148,77 +148,72 @@ register(
 
 # --- materialized inverted index ---------------------------------------------
 # BM25 above EXPLODES an ephemeral postings relation per query; a search
-# system materializes the index ONCE: term → sorted posting list
-# (doc_id, tf) + document frequency. Emitted here for the top-50 terms
-# by df (ties term-asc) with the posting list reduced to integer
-# audit columns (length, tf sum, md5 checksum over the sorted
-# "doc:tf" string) so the result stays bounded and hash-comparable
-# while still pinning EVERY posting byte-for-byte.
+# system materializes the index ONCE: term → posting list (doc_id, tf) +
+# document frequency. Emitted here for the top-50 terms by df (ties
+# term-asc) with the posting list reduced to integer audit columns
+# (length, tf sum, order-free checksum over every "doc:tf" posting) so
+# the result stays bounded and hash-comparable while still pinning the
+# full posting MULTISET.
 #
-# 100 TB shape: one tokenize-explode + one (term, doc) hash agg for tf;
-# df/total_tf come from a second map-side-combinable agg, the top-50
-# terms are chosen by heap top-k, and ONLY those terms pay the
-# collect_list posting build (semi-join pruned — buffering the full
-# vocabulary's postings in agg state was the measured sf10 OOM). A
-# production writer partitionBy(term-bucket)s the full postings relation
-# with sort-on-write instead of checksumming; the plan is identical up
-# to the sink. Checksums, not floats, so engine parity is exact.
+# 100 TB shape — two partial-aggregated exchanges, nothing single-task:
+# (1) (term, doc) tf agg: docs are contiguous in the scan, so map-side
+# combine collapses occurrences to distinct pairs BEFORE the exchange;
+# (2) per-term stats agg: ≤|vocab| rows leave each partition. The
+# checksum is a SUM of 40-bit per-posting hashes (hi/lo long split,
+# recombined in DECIMAL(38,0) once per term — the dsum trick without the
+# scaling), so it partial-aggregates like any sum. The round-4 form
+# md5'd the SORTED posting string per term: one task per term sorting
+# and concatenating the term's whole posting list — with the corpus's
+# 31-term vocabulary that plan was ≤31 active tasks and the measured
+# 3.9×-at-sf10 bottleneck (and before that, the full-vocabulary
+# collect_list OOM). A production writer partitionBy(term-bucket)s the
+# postings relation with sort-on-write instead of checksumming; the plan
+# is identical up to the sink. Exact-envelope note: the lo-sum holds to
+# ~2³¹ postings per term; past that, bucket the checksum by
+# (term, doc_id % B) — the same dial the writer uses.
 
 _IDX_TOPK = 50
+_IDX_MASK31 = (1 << 31) - 1
+_IDX_POW31 = 1 << 31
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    # ONE wide exchange: repartition the token relation on term before
-    # the (term, doc) aggregation. hash(term) satisfies the tf agg, the
-    # stats agg AND the postings agg (subset-key clustering), and the two
-    # consumers of tf share the identical exchange subtree, so
-    # ReuseExchange materializes the shuffle once — no localCheckpoint
-    # (evictable under the 8 GB local heap), no second tokenize pass.
-    # Zipf skew on the hot terms is bounded locally; the 100 TB writer
-    # salts into term-buckets instead (see module note above).
+    # Spread the (few-file) documents scan before the explode: the map
+    # side — tokenize + the full (term, doc) partial aggregation — is
+    # otherwise serialized into as many tasks as the table has row-group
+    # splits (ONE at the decade scales; the measured 2.9×-at-sf10
+    # residue). Doc rows are tiny relative to their exploded tokens, so
+    # this exchange is ~2% of the relation it parallelizes; a production
+    # corpus with thousands of files planes it away (AQE coalesces).
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     tf = (
         d.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
         )
         .filter(F.col("term") != "")
-        .repartition(F.col("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    # Select the emitted terms BEFORE building posting strings: df/tf are
-    # cheap map-side-combinable aggs, and only the ≤50 surviving terms pay
-    # the collect_list. Building postings for the FULL vocabulary first
-    # buffered |distinct (term,doc)| structs in aggregation state — the
-    # measured sf10 failure (executor GC-locker thrash, run killed).
-    stats = tf.groupBy("term").agg(
+    # 40-bit posting hash (10 md5 hex chars): small enough that the lo/hi
+    # long partials never overflow at any realistic per-term df, exact on
+    # both engines (conv vs 0x-cast, cf. sketches._hex_bigint).
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(doc_id AS STRING), "
+        "CAST(tf AS STRING)) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    stats = tf.select("term", "tf", h.alias("h")).groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
+        (
+            F.sum(F.shiftright(F.col("h"), 31)).cast("decimal(38,0)")
+            * F.lit(_IDX_POW31).cast("decimal(38,0)")
+            + F.sum(F.col("h").bitwiseAND(F.lit(_IDX_MASK31))).cast("decimal(38,0)")
+        ).cast("string").alias("postings_check"),
     )
     top = global_topk(stats, _IDX_TOPK, [F.desc("df"), F.asc("term")])
-    tf_top = tf.join(
-        F.broadcast(top.select("term")), "term", "left_semi"
-    )
-    postings = tf_top.groupBy("term").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("doc_id", "tf"))
-                    ),
-                    lambda s: F.concat_ws(
-                        ":",
-                        s["doc_id"].cast("string"),
-                        s["tf"].cast("string"),
-                    ),
-                ),
-            ).cast("binary")
-        ).alias("postings_md5"),
-    )
-    return top.join(F.broadcast(postings), "term").select(
-        "rank", "term", "df", "total_tf", "postings_md5"
-    )
+    return top.select("rank", "term", "df", "total_tf", "postings_check")
 
 
 _INVIDX_SQL = f"""
@@ -229,17 +224,23 @@ WITH tf AS (
     ) WHERE term <> ''
     GROUP BY 1, 2
 ),
-postings AS (
+hashed AS (
+    SELECT term, tf,
+           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)), 1, 10)) AS BIGINT) AS h
+    FROM tf
+),
+stats AS (
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id, tf)) AS postings_md5
-    FROM tf
+           CAST(CAST(SUM(h >> 31) AS DECIMAL(38,0)) * {_IDX_POW31}
+                + CAST(SUM(h & {_IDX_MASK31}) AS DECIMAL(38,0)) AS VARCHAR) AS postings_check
+    FROM hashed
     GROUP BY term
 )
-SELECT rank, term, df, total_tf, postings_md5 FROM (
+SELECT rank, term, df, total_tf, postings_check FROM (
     SELECT ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS rank, *
-    FROM postings
+    FROM stats
 ) WHERE rank <= {_IDX_TOPK}
 """
 
