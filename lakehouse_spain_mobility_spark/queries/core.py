@@ -40,6 +40,11 @@ def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors the silver typing/cleaning hop (dags/mitma/silver_mitma.py:119-140):
     typed projection, day_type encoding, validity filters.
     """
+    # NO scan spread here, measured deliberately: events rows aggregate
+    # ~1:1 into silver (no explode), so a repartition of the raw fact
+    # costs more wire than the map-side parallelism it buys (sf10 A/B:
+    # 16.8 s -> 23.8 s WITH the spread). tables.spread pays off only for
+    # scans whose map side EXPANDS (documents tokenize/explode paths).
     ev = load(spark, sf_dir, "events")
     return ev.select(
         F.to_date("ts").alias("date"),

@@ -123,6 +123,9 @@ def _hll_estimate_ppm() -> str:
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no scan spread: the md5+register map work is ~1:1 per event row, so
+    # a raw-fact repartition costs more than it buys (cf. core.py silver;
+    # sf10 A/B 17.0 s -> 22.1 s WITH the spread)
     ev = load(spark, sf_dir, "events")
     # explode(array(...)) is the repo's projection barrier (SCALE.md §8c):
     # bucket + rho reference `h` ~26 times via substring; CollapseProject

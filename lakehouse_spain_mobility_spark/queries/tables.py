@@ -44,6 +44,25 @@ def ensure_read_convention(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a scan that underuses the cluster; no-op otherwise.
+
+    Parquet scans split at row-group boundaries, so a few-file table caps
+    the MAP side — tokenize/explode/partial-aggregation pipelines — at a
+    handful of tasks no matter how many cores exist (the measured residue
+    behind several 2-4×-at-sf10 ratios: the reduce side showed 32 tasks
+    while the scan ran ONE). The repartition exchange moves only the
+    compact pre-explode rows (~2% of the token stream they expand into);
+    on a production corpus with thousands of files the condition is false
+    and the plan is untouched, so fact relations still never pay an
+    unconditional exchange.
+    """
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= p:
+        return df.repartition(p)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(name)

@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 from ..functions.topk import global_topk
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 # --- C4-style line-level dedup ----------------------------------------------
 
@@ -274,7 +274,9 @@ _PMI_TOP = 20
 
 
 def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # conditional few-file scan spread (tables.spread) — the bigram
+    # explode + count partials are map-side work
+    d = spread(load(spark, sf_dir, "documents"), spark)
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
     docs = d.select("doc_id", F.explode(F.array(toks)).alias("wa"))
     pairs = F.when(

@@ -45,6 +45,8 @@ QUERIES = [
     "l_diversity_audit", "join_size_estimate", "frequent_itemsets",
     "unimax_mix", "stream_join_exec", "inverted_index",
     "stream_stateful_exec", "boilerplate_removal",
+    # round-5 new operator: scale-measured from birth
+    "bitext_margin_lsh",
 ]
 
 
@@ -59,15 +61,35 @@ def main() -> None:
     skip = set(filter(None, os.environ.get("DECADE_SKIP", "").split(",")))
     specs = [registry[n] for n in QUERIES if n not in skip]
 
+    # DECADE_SINK: names (or 'all') additionally timed to a parquet SINK on
+    # both engines — the pipeline-realistic grading for transfer-bound
+    # queries (full-relation outputs pay ~4x row-collect on Spark but both
+    # engines pay a comparable columnar write; VERDICT r4 #5).
+    sink = set(filter(None, os.environ.get("DECADE_SINK", "").split(",")))
+    if "all" in sink:
+        sink = {s.name for s in specs}
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="decade_sink_")
+
     spark = build_session(app_name="decade-bench")
     spark.range(1000).selectExpr("sum(id)").collect()
     spark_t: dict[str, float] = {}
+    spark_sink_t: dict[str, float] = {}
     for spec in specs:
         spec.build(spark, sf_dir).collect()  # warmup (codegen + bucket ETL)
         t0 = time.perf_counter()
         n = len(spec.build(spark, sf_dir).collect())
         spark_t[spec.name] = round(time.perf_counter() - t0, 3)
         print(f"# spark {spec.name}: {spark_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+        if spec.name in sink:
+            t0 = time.perf_counter()
+            spec.build(spark, sf_dir).write.mode("overwrite").parquet(
+                f"{tmp}/{spec.name}_spark.parquet"
+            )
+            spark_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
+            print(f"# spark-sink {spec.name}: {spark_sink_t[spec.name]:.3f}s", file=sys.stderr)
     spark.stop()
 
     con = duckdb.connect()
@@ -78,23 +100,38 @@ def main() -> None:
             assert glob.glob(path), path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     duck_t: dict[str, float] = {}
+    duck_sink_t: dict[str, float] = {}
     for spec in specs:
         con.execute(spec.oracle).fetchall()
         t0 = time.perf_counter()
         n = len(con.execute(spec.oracle).fetchall())
         duck_t[spec.name] = round(time.perf_counter() - t0, 3)
         print(f"# duckdb {spec.name}: {duck_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+        if spec.name in sink:
+            t0 = time.perf_counter()
+            con.execute(
+                f"COPY ({spec.oracle}) TO '{tmp}/{spec.name}_duck.parquet' (FORMAT PARQUET)"
+            )
+            duck_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
+            print(f"# duckdb-sink {spec.name}: {duck_sink_t[spec.name]:.3f}s", file=sys.stderr)
     con.close()
+    shutil.rmtree(tmp, ignore_errors=True)
 
-    out = {
-        q: {
+    out = {}
+    for q in QUERIES:
+        if q not in spark_t:  # DECADE_SKIP names have no measurements
+            continue
+        row = {
             "spark": spark_t[q],
             "duckdb": duck_t[q],
             "ratio": round(spark_t[q] / duck_t[q], 3) if duck_t[q] > 0 else None,
         }
-        for q in QUERIES
-        if q in spark_t  # DECADE_SKIP names have no measurements
-    }
+        if q in spark_sink_t and q in duck_sink_t:
+            row["spark_sink"] = spark_sink_t[q]
+            row["duckdb_sink"] = duck_sink_t[q]
+            if duck_sink_t[q] > 0:
+                row["ratio_sink"] = round(spark_sink_t[q] / duck_sink_t[q], 3)
+        out[q] = row
     print(json.dumps({"label": label, "sf_dir": sf_dir, "queries": out}))
 
 

@@ -66,7 +66,12 @@ def main() -> None:
             rep = rep.withColumn(
                 k, (F.col(k) + F.col("_r") * F.lit(strides[k])).cast(df.schema[k].dataType)
             )
-        rep.drop("_r").write.mode("overwrite").parquet(out)
+        # Splittable layout: one giant row group per file caps every scan
+        # at ONE task (parquet splits at row-group boundaries) — that
+        # serialized the map side of the whole decade suite and silently
+        # dominated several Spark-vs-DuckDB ratios. 32 files ≈ one split
+        # per local core; both engines parallelize over them.
+        rep.drop("_r").repartition(32).write.mode("overwrite").parquet(out)
         print(f"{t}: x{replicas} with offsets {strides}")
     spark.stop()
 
