@@ -636,52 +636,82 @@ def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "tgt_id")
         .distinct()
+        # spread the 16-byte pair relation so the broadcast-join scoring
+        # pipeline below runs on every core (without an exchange it
+        # inherits the scan's split count)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    embs = v.select(
-        "id",
-        F.col("embedding").alias("emb"),
-        sim.norm2_unrolled(F.col("embedding"), 64).alias("nrm"),
-    )
+
+    # Each LANGUAGE SIDE broadcasts (they are label-subsets of the vector
+    # table — the query/translation-shard shape); the candidate pairs then
+    # never carry 64-float arrays through an exchange. The round-5 first
+    # cut SMJ'd the embeddings onto the pairs: 12M × 260 B rows sorted
+    # twice — the measured sf10 dominator.
+    def _side(label: int, idc: str):
+        return (
+            v.filter(F.col("label") == label)
+            .select(
+                F.col("id").alias(idc),
+                F.col("embedding").alias(f"{idc}_emb"),
+                sim.norm2_unrolled(F.col("embedding"), 64).alias(f"{idc}_n"),
+            )
+        )
+
     scored = (
-        cand.join(embs.withColumnRenamed("id", "src_id"), "src_id")
-        .withColumnsRenamed({"emb": "src_emb", "nrm": "src_n"})
-        .join(embs.withColumnRenamed("id", "tgt_id"), "tgt_id")
+        cand.join(F.broadcast(_side(_BT_SRC, "src_id")), "src_id")
+        .join(F.broadcast(_side(_BT_TGT, "tgt_id")), "tgt_id")
         .select(
             "src_id",
             "tgt_id",
             micro(
-                sim.dot_unrolled(F.col("src_emb"), F.col("emb"), 64)
-                / (F.col("src_n") * F.col("nrm"))
+                sim.dot_unrolled(F.col("src_id_emb"), F.col("tgt_id_emb"), 64)
+                / (F.col("src_id_n") * F.col("tgt_id_n"))
             ).alias("cos_ppm"),
         )
+        # TWO consumers (src-side and tgt-side neighborhoods) with
+        # incompatible clusterings — materialize once instead of
+        # recomputing the band join + scoring per consumer. persist (not
+        # localCheckpoint) keeps lineage recomputable under eviction
+        # (SCALE.md §8g hazard); state is |candidates|-sized, the same
+        # volume every downstream exchange pays anyway.
+        .persist()
     )
     # Ratio margin over the CANDIDATE neighborhoods: top-k averages divide
     # by the actual neighborhood size (min(k, |cands|)) so sparse sources
     # stay well-defined; cos_ppm sums are exact integers on both engines.
-    w_src = Window.partitionBy("src_id").orderBy(F.desc("cos_ppm"), F.asc("tgt_id"))
-    w_tgt = Window.partitionBy("tgt_id").orderBy(F.desc("cos_ppm"), F.asc("src_id"))
-    per_src = (
-        scored.withColumn("r", F.row_number().over(w_src))
-        .filter(F.col("r") <= _BT_K)
-        .groupBy("src_id")
-        .agg(
-            F.sum("cos_ppm").alias("sum_s"),
-            F.count("*").alias("n_s"),
-            F.min(F.struct("r", "tgt_id", "cos_ppm")).alias("b"),
+    # Per-group top-k as ONE hash aggregation — sort_array over each
+    # group's bounded candidate list then slice(k), never a row_number
+    # window (the window form global-sorts the full pair relation per
+    # side: 2×21 s of the measured 82 s at sf10). struct(-cos, other_id)
+    # ascending == (cos DESC, id ASC), the windows' exact order. Agg state
+    # is bounded by the per-key candidate count (band fraction × opposite
+    # side); a pathologically hot key at 100× takes the salted two-phase
+    # form (functions/topk.py:salted_group_topk — same total order).
+    def _topk(key: str, other: str):
+        arr = F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("cos_ppm")).alias("nc"), F.col(other).alias("oid")
+                    )
+                )
+            ),
+            1,
+            _BT_K,
         )
-        .select(
-            "src_id",
-            "sum_s",
-            "n_s",
-            F.col("b.tgt_id").alias("tgt_id"),
-            F.col("b.cos_ppm").alias("cos_ppm"),
-        )
+        return scored.groupBy(key).agg(arr.alias("a"))
+
+    per_src = _topk("src_id", "tgt_id").select(
+        "src_id",
+        F.expr("aggregate(a, 0L, (acc, x) -> acc - x.nc)").alias("sum_s"),
+        F.size("a").alias("n_s"),
+        F.element_at("a", 1)["oid"].alias("tgt_id"),
+        (-F.element_at("a", 1)["nc"]).alias("cos_ppm"),
     )
-    nt = (
-        scored.withColumn("r", F.row_number().over(w_tgt))
-        .filter(F.col("r") <= _BT_K)
-        .groupBy("tgt_id")
-        .agg(F.sum("cos_ppm").alias("sum_t"), F.count("*").alias("n_t"))
+    nt = _topk("tgt_id", "src_id").select(
+        "tgt_id",
+        F.expr("aggregate(a, 0L, (acc, x) -> acc - x.nc)").alias("sum_t"),
+        F.size("a").alias("n_t"),
     )
     denom = (
         F.col("sum_s").cast("double") / F.col("n_s").cast("double")
