@@ -636,9 +636,11 @@ def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src_id", "tgt_id")
         .distinct()
-        # spread the 16-byte pair relation so the broadcast-join scoring
-        # pipeline below runs on every core (without an exchange it
-        # inherits the scan's split count)
+        # Explicit spread AFTER the distinct: AQE coalesces the distinct's
+        # small post-shuffle partitions (16-byte rows) toward its 64 MB
+        # advisory target, which would serialize the scoring pipeline +
+        # checkpoint onto 1-2 tasks (measured: removing this doubled sf3,
+        # 7.1 s -> 14.8 s). The extra exchange moves |candidates|·16 B.
         .repartition(spark.sparkContext.defaultParallelism)
     )
 
@@ -670,11 +672,14 @@ def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # TWO consumers (src-side and tgt-side neighborhoods) with
         # incompatible clusterings — materialize once instead of
-        # recomputing the band join + scoring per consumer. persist (not
-        # localCheckpoint) keeps lineage recomputable under eviction
-        # (SCALE.md §8g hazard); state is |candidates|-sized, the same
-        # volume every downstream exchange pays anyway.
-        .persist()
+        # recomputing the band join + scoring per consumer. Eager
+        # localCheckpoint, not persist: persist registers in the session
+        # CacheManager and silently serves every LATER build of the same
+        # canonical plan from memory (bench warmups would poison timed
+        # runs). The checkpointed state is (src, tgt, cos) only —
+        # |candidates| × 24 B, far under the §8c eviction-hazard sizes —
+        # and eager=True sidesteps the lazy-checkpoint AQE race.
+        .localCheckpoint(eager=True)
     )
     # Ratio margin over the CANDIDATE neighborhoods: top-k averages divide
     # by the actual neighborhood size (min(k, |cands|)) so sparse sources
