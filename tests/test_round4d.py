@@ -165,8 +165,15 @@ def test_inverted_index_postings_checksum(spark):
             tf[r["doc_id"]] = k
     assert top["df"] == len(tf)
     assert top["total_tf"] == sum(tf.values())
-    postings = ",".join(f"{doc}:{tf[doc]}" for doc in sorted(tf))
-    assert top["postings_md5"] == hashlib.md5(postings.encode()).hexdigest()
+    # round-5 contract: order-free checksum — SUM over postings of the
+    # 40-bit md5 prefix of "doc:tf" (pins the posting multiset while
+    # partial-aggregating map-side; the sorted-string md5 serialized each
+    # term's whole posting list through one task)
+    check = sum(
+        int(hashlib.md5(f"{doc}:{k}".encode()).hexdigest()[:10], 16)
+        for doc, k in tf.items()
+    )
+    assert top["postings_check"] == str(check)
     # df ordering is the ranking contract
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)
