@@ -315,6 +315,61 @@ def st_bounds(wkt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("area", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("xmin", T.DoubleType()),
+            T.StructField("ymin", T.DoubleType()),
+            T.StructField("xmax", T.DoubleType()),
+            T.StructField("ymax", T.DoubleType()),
+        ]
+    )
+)
+def st_geom_stats(wkt: pd.Series) -> pd.DataFrame:
+    """Fused per-geometry stats: ONE WKT parse yielding area + centroid +
+    bounds. st_area/st_centroid/st_bounds each re-parse the string, so a
+    query needing all three paid 3-4 Arrow passes and 3-4 parses per row
+    (spatial_dissolve's measured sf10 cost). Values are bit-identical to
+    the single-purpose kernels: area = |signed area of ring 0| (st_area's
+    convention), centroid = area-weighted across rings (geom_centroid),
+    bounds over all ring vertices (st_bounds)."""
+    rows = []
+    for w in wkt:
+        rings = parse_polygon_rings(w)
+        if not rings:
+            rows.append((None,) * 7)
+            continue
+        area = abs(ring_area_centroid(rings[0])[0])
+        tot_a = cx = cy = 0.0
+        for ring in rings:
+            a, rx, ry = ring_area_centroid(ring)
+            tot_a += a
+            cx += rx * a
+            cy += ry * a
+        allp = np.vstack(rings)
+        if tot_a == 0.0:
+            lon, lat = float(allp[:, 0].mean()), float(allp[:, 1].mean())
+        else:
+            lon, lat = cx / tot_a, cy / tot_a
+        rows.append(
+            (
+                area,
+                lon,
+                lat,
+                float(allp[:, 0].min()),
+                float(allp[:, 1].min()),
+                float(allp[:, 0].max()),
+                float(allp[:, 1].max()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["area", "lon", "lat", "xmin", "ymin", "xmax", "ymax"]
+    )
+
+
 @F.pandas_udf(T.StringType())
 def st_transform_25830_to_4326(wkt: pd.Series) -> pd.Series:
     return pd.Series([transform_polygon_wkt_25830_to_4326(w) for w in wkt])

@@ -126,7 +126,7 @@ register(
 
 
 def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.spatial import dissolve_centroids, st_area, st_bounds
+    from ..operators.spatial import st_geom_stats
 
     c = load(spark, sf_dir, "customer")
     key = F.col("c_custkey").cast("bigint")
@@ -143,35 +143,33 @@ def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition(
         spark.sparkContext.defaultParallelism
         # the WKT rows inherit the (few-file) customer scan's partitioning;
-        # spreading them first gives the four pandas-UDF kernel passes full
-        # core parallelism (sf1: 10.4 s -> per-kernel cost / n_cores)
-    ).localCheckpoint(eager=True)  # two consumers: dissolve + extent agg
-    # (eager: concurrent AQE stages + lazy local checkpoint race, cf.
-    # bitext_margin)
-    cent = dissolve_centroids(parts, ["grp"])  # the J7 operator itself
-    ext = (
-        parts.withColumn("a", st_area(F.col("geometry")))
-        .withColumn("b", st_bounds(F.col("geometry")))
-        .groupBy("grp")
-        .agg(
-            F.count("*").cast("bigint").alias("n_parts"),
-            F.sum("a").cast("bigint").alias("area_sum"),
-            F.min(F.col("b.xmin")).cast("bigint").alias("xmin"),
-            F.min(F.col("b.ymin")).cast("bigint").alias("ymin"),
-            F.max(F.col("b.xmax")).cast("bigint").alias("xmax"),
-            F.max(F.col("b.ymax")).cast("bigint").alias("ymax"),
-        )
+        # spreading them first gives the kernel pass full core parallelism
     )
-    return ext.join(cent, "grp").select(
-        "grp",
-        "n_parts",
-        "area_sum",
-        micro(F.col("lon")).alias("cx_micro"),
-        micro(F.col("lat")).alias("cy_micro"),
-        "xmin",
-        "ymin",
-        "xmax",
-        "ymax",
+    # ONE fused kernel pass (st_geom_stats: one WKT parse → area, centroid,
+    # bounds) feeding ONE aggregation. The round-4 form ran FOUR pandas-UDF
+    # passes (centroid + area inside dissolve_centroids, area + bounds for
+    # the extent branch) over a localCheckpoint'ed relation and joined the
+    # two branches back — 4 parses + 4 Arrow round-trips + a checkpoint per
+    # row, for values this single pass produces bit-identically. The
+    # area-weighted centroid aggregation IS the dissolve operator's math
+    # (dissolve_centroids — non-overlapping union centroid ≡ area-weighted
+    # centroid of parts); reference: dags/gravity/create_centroids.py:12-19
+    # + create_map.py:18-44.
+    g = parts.select("grp", st_geom_stats(F.col("geometry")).alias("g"))
+    a = F.col("g.area")
+    out = g.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(a).cast("bigint").alias("area_sum"),
+        micro(F.sum(F.col("g.lon") * a) / F.sum(a)).alias("cx_micro"),
+        micro(F.sum(F.col("g.lat") * a) / F.sum(a)).alias("cy_micro"),
+        F.min(F.col("g.xmin")).cast("bigint").alias("xmin"),
+        F.min(F.col("g.ymin")).cast("bigint").alias("ymin"),
+        F.max(F.col("g.xmax")).cast("bigint").alias("xmax"),
+        F.max(F.col("g.ymax")).cast("bigint").alias("ymax"),
+    )
+    return out.select(
+        "grp", "n_parts", "area_sum", "cx_micro", "cy_micro",
+        "xmin", "ymin", "xmax", "ymax",
     )
 
 
