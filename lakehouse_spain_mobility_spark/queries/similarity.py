@@ -670,51 +670,61 @@ def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("src_id_n") * F.col("tgt_id_n"))
             ).alias("cos_ppm"),
         )
-        # TWO consumers (src-side and tgt-side neighborhoods) with
-        # incompatible clusterings — materialize once instead of
-        # recomputing the band join + scoring per consumer. Eager
-        # localCheckpoint, not persist: persist registers in the session
-        # CacheManager and silently serves every LATER build of the same
-        # canonical plan from memory (bench warmups would poison timed
-        # runs). The checkpointed state is (src, tgt, cos) only —
-        # |candidates| × 24 B, far under the §8c eviction-hazard sizes —
-        # and eager=True sidesteps the lazy-checkpoint AQE race.
-        .localCheckpoint(eager=True)
     )
     # Ratio margin over the CANDIDATE neighborhoods: top-k averages divide
     # by the actual neighborhood size (min(k, |cands|)) so sparse sources
     # stay well-defined; cos_ppm sums are exact integers on both engines.
-    # Per-group top-k as ONE hash aggregation — sort_array over each
-    # group's bounded candidate list then slice(k), never a row_number
-    # window (the window form global-sorts the full pair relation per
-    # side: 2×21 s of the measured 82 s at sf10). struct(-cos, other_id)
-    # ascending == (cos DESC, id ASC), the windows' exact order. Agg state
-    # is bounded by the per-key candidate count (band fraction × opposite
-    # side); a pathologically hot key at 100× takes the salted two-phase
-    # form (functions/topk.py:salted_group_topk — same total order).
-    def _topk(key: str, other: str):
-        arr = F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("cos_ppm")).alias("nc"), F.col(other).alias("oid")
-                    )
-                )
-            ),
-            1,
-            _BT_K,
-        )
-        return scored.groupBy(key).agg(arr.alias("a"))
-
-    per_src = _topk("src_id", "tgt_id").select(
-        "src_id",
+    # BOTH neighborhood sides come from ONE aggregation over ONE scoring
+    # pass: each scored pair explodes into (side='s', key=src, other=tgt)
+    # and (side='t', key=tgt, other=src) rows — a narrow 2× fan-out — so
+    # the src- and tgt-ranked views never re-execute the band join, with
+    # ZERO materialized state. (History: a row_number window per side
+    # global-sorted the pair relation twice, 82 s at sf10; an eager
+    # localCheckpoint between two aggs cut that to 50 s but its blocks
+    # squeezed execution memory at sf30's 108M candidates — the 2.6 GB
+    # checkpoint sat exactly at the protected-storage boundary and tasks
+    # died UNABLE_TO_ACQUIRE_MEMORY. The doubled-row single agg needs
+    # neither.) Per-group top-k is sort_array+slice over each key's
+    # bounded candidate list — struct(-cos, other_id) ascending ==
+    # (cos DESC, id ASC), the window order exactly; a pathologically hot
+    # key at 100× takes the salted two-phase form
+    # (functions/topk.py:salted_group_topk — same total order).
+    doubled = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("s").alias("side"),
+                    F.col("src_id").alias("key"),
+                    F.col("tgt_id").alias("other"),
+                ),
+                F.struct(
+                    F.lit("t").alias("side"),
+                    F.col("tgt_id").alias("key"),
+                    F.col("src_id").alias("other"),
+                ),
+            )
+        ).alias("e"),
+        "cos_ppm",
+    ).select("e.side", "e.key", "e.other", "cos_ppm")
+    arr = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("cos_ppm")).alias("nc"), F.col("other").alias("oid"))
+            )
+        ),
+        1,
+        _BT_K,
+    )
+    topk = doubled.groupBy("side", "key").agg(arr.alias("a"))
+    per_src = topk.filter(F.col("side") == "s").select(
+        F.col("key").alias("src_id"),
         F.expr("aggregate(a, 0L, (acc, x) -> acc - x.nc)").alias("sum_s"),
         F.size("a").alias("n_s"),
         F.element_at("a", 1)["oid"].alias("tgt_id"),
         (-F.element_at("a", 1)["nc"]).alias("cos_ppm"),
     )
-    nt = _topk("tgt_id", "src_id").select(
-        "tgt_id",
+    nt = topk.filter(F.col("side") == "t").select(
+        F.col("key").alias("tgt_id"),
         F.expr("aggregate(a, 0L, (acc, x) -> acc - x.nc)").alias("sum_t"),
         F.size("a").alias("n_t"),
     )
