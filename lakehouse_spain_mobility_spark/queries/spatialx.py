@@ -114,9 +114,12 @@ register(
 # grid with INTEGER coordinates is derived arithmetically from customer
 # keys; the Spark side serializes each rectangle to WKT text and runs it
 # through the REAL geometry kernels (``operators/spatial.py``: WKT ring
-# parser → shoelace area/centroid pandas UDFs → ``dissolve_centroids``
-# union aggregation → bounds), while the DuckDB oracle evaluates the same
-# shoelace algebra in closed form over the same derived coordinates.
+# parser → shoelace area/centroid → bounds, fused since round 5 into the
+# single-parse ``st_geom_stats`` pass; the dissolve math — non-overlapping
+# union centroid ≡ area-weighted centroid, ``dissolve_centroids`` — runs
+# as the aggregation), while the DuckDB oracle parses the same WKT text
+# and evaluates the same shoelace sums in SQL (round 5; the old twin's
+# closed-form rectangle algebra compared a kernel against a constant).
 # Bit-parity by construction: integer coords make every shoelace
 # intermediate and every aggregation partial an exactly-representable
 # double (order-free), and the two closing divisions (ring centroid,
