@@ -50,6 +50,8 @@ BENCH2 = [
     "python_datasource_scan",
     # round-5: candidate-bounded bitext (queries/similarity.py)
     "bitext_margin_lsh",
+    # round-6: dedup-before-mine composition (queries/similarity.py)
+    "bitext_margin_lsh_dedup",
 ]
 
 

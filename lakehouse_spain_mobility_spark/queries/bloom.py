@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 _W = 8  # gram width — same as the exact decontamination operator
 _BENCH = 20  # doc_id < 20 stands in for the benchmark set
@@ -122,9 +122,7 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file arrives as one split, and without the round-2 distinct
     # shuffle the whole gram pipeline would otherwise run in that single
     # task (measured 24 s single-task vs ~3 s at 32-way, sf0.1).
-    train_docs = d.filter(F.col("doc_id") >= _BENCH).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    train_docs = spread(d.filter(F.col("doc_id") >= _BENCH), spark)
     train_grams = grams(train_docs)
 
     def _bit_set(i: int) -> F.Column:

@@ -46,7 +46,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 # --- exact duplicated-substring spans ---------------------------------------
 
@@ -66,10 +66,9 @@ def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the tokenize+explode across all cores BEFORE the checkpoint:
     # the few-file scan otherwise pins the ~100× gram expansion to the
     # scan's partition count (measured at sf30: 4 partitions, 4.4 GiB
-    # cached blocks spilling to disk, 28 idle cores — trap #11).
-    toks = d.repartition(spark.sparkContext.defaultParallelism).select(
-        "doc_id", _tokens_col().alias("l")
-    )
+    # cached blocks spilling to disk, 28 idle cores — trap #11). spread()
+    # skips the exchange when the scan is already wide enough.
+    toks = spread(d, spark).select("doc_id", _tokens_col().alias("l"))
     # Guard: Spark's sequence(1, stop) is DESCENDING for stop < 1, so an
     # under-length document must yield an empty start list explicitly.
     starts = F.when(

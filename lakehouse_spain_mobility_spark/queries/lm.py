@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import dsum, micro, sql_dsum, sql_micro
 from ..functions.topk import global_topk
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 _TOP_K = 20
 
@@ -40,12 +40,12 @@ _TOP_K = 20
 def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the few-file documents scan so the three narrow consumers of
     # `d` (model bigrams, scoring bigrams, vocab) each run the tokenize on
-    # every core instead of one task per row-group split; the identical
-    # repartition subtree is materialized ONCE (ReuseExchange) and doc
-    # rows are ~2% of their exploded token stream.
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # every core instead of one task per row-group split; when spread()
+    # does insert the exchange it is materialized ONCE (ReuseExchange) and
+    # doc rows are ~2% of their exploded token stream, and on an
+    # already-parallel corpus it is skipped outright (no explicit-count
+    # repartition for AQE to fail to coalesce).
+    d = spread(load(spark, sf_dir, "documents"), spark)
     # Adjacency comes from zipping the (empty-filtered) token array with
     # its own 1-shifted tail — pure narrow codegen, NO doc-key window. The
     # round-2 form built bigrams with lead() over (doc_id, pos); Catalyst
@@ -179,11 +179,10 @@ _DSIR_BENCH = 20
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Few-file scan spread (cf. q_perplexity_filter): both tokenize passes
-    # (model, scoring) parallelize; one materialized exchange via reuse.
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # Conditional few-file scan spread (cf. q_perplexity_filter): both
+    # tokenize passes (model, scoring) parallelize; skipped when the scan
+    # already has enough splits.
+    d = spread(load(spark, sf_dir, "documents"), spark)
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).filter(F.col("token") != "")

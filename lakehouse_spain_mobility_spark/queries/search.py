@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import davg, dsum, micro, sql_davg, sql_micro
 from ..functions.topk import global_topk
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 _TERMS = ("spark", "hash", "window")
 _K1 = 1.2
@@ -183,11 +183,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise serialized into as many tasks as the table has row-group
     # splits (ONE at the decade scales; the measured 2.9×-at-sf10
     # residue). Doc rows are tiny relative to their exploded tokens, so
-    # this exchange is ~2% of the relation it parallelizes; a production
-    # corpus with thousands of files planes it away (AQE coalesces).
-    d = load(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # the exchange is ~2% of the relation it parallelizes — and spread()
+    # SKIPS it entirely when the scan already has enough splits (a
+    # production corpus with thousands of files pays nothing; AQE would
+    # NOT coalesce an explicit-count repartition away).
+    d = spread(load(spark, sf_dir, "documents"), spark)
     tf = (
         d.select(
             "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.deterministic import micro, sql_micro
 from ..operators.spatial import st_point_25830_to_4326, utm_constants
 from . import QuerySpec, register
-from .tables import load
+from .tables import load, spread
 
 
 def q_spatial_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +143,11 @@ def q_spatial_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
             x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
         ).alias("geometry"),
-    ).repartition(
-        spark.sparkContext.defaultParallelism
-        # the WKT rows inherit the (few-file) customer scan's partitioning;
-        # spreading them first gives the kernel pass full core parallelism
     )
+    # the WKT rows inherit the (few-file) customer scan's partitioning;
+    # spreading them first gives the kernel pass full core parallelism
+    # (skipped when the scan is already wide)
+    parts = spread(parts, spark)
     # ONE fused kernel pass (st_geom_stats: one WKT parse → area, centroid,
     # bounds) feeding ONE aggregation. The round-4 form ran FOUR pandas-UDF
     # passes (centroid + area inside dissolve_centroids, area + bounds for

@@ -230,6 +230,8 @@ SUITES: dict[str, list[str]] = {
         "python_datasource_scan",
         # round-5 fold-in (VERDICT r4 #2): the candidate-bounded bitext path
         "bitext_margin_lsh",
+        # round-6 fold-in (VERDICT r5 #2): dedup-before-mine composition
+        "bitext_margin_lsh_dedup",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -775,6 +775,20 @@ def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
         tempfile.gettempdir(), "spark_graft_buckets", str(os.getpid())
     )
     wh = Warehouse(spark, root)
+    # Cache miss ⇒ the data under sf_dir was (re)generated: every older
+    # mtime-tagged layout for the SAME sf_dir is now unreachable for the
+    # rest of the session — drop the catalog entries and their files so
+    # stale layouts don't accumulate unbounded across regenerations.
+    # trailing "_" so e.g. ..._sf1_ never matches ..._sf10_<mtime>
+    prefix = f"ps_lineitem_b{n_buckets}_" + re.sub(
+        r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")
+    ) + "_"
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix) and t.name != name:
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            import shutil
+
+            shutil.rmtree(wh.path(t.name), ignore_errors=True)
     return wh.create_or_replace_bucketed(
         name, li, ["l_partkey", "l_suppkey"], n_buckets
     )

@@ -43,8 +43,16 @@ def s3a_conf(
     asserts the conf surface and the artifact path runs against a
     moto-mocked S3 instead)."""
     if anonymous is None:
-        anonymous = endpoint.startswith(
-            ("http://localhost", "http://127.0.0.1", "http://[::1]")
+        # Exact hostname compare, not a prefix probe: startswith would also
+        # match e.g. http://localhost.example.com and silently select
+        # anonymous credentials against a remote endpoint.
+        from urllib.parse import urlsplit
+
+        host = urlsplit(endpoint).hostname
+        anonymous = endpoint.startswith("http://") and host in (
+            "localhost",
+            "127.0.0.1",
+            "::1",
         )
     return {
         "spark.hadoop.fs.s3a.endpoint": endpoint,

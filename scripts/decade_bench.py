@@ -47,7 +47,20 @@ QUERIES = [
     "stream_stateful_exec", "boilerplate_removal",
     # round-5 new operator: scale-measured from birth
     "bitext_margin_lsh",
+    # round-6: replica-free decade curve for the candidate-bounded plan
+    "bitext_margin_lsh_dedup",
 ]
+
+# Queries whose plan reads the bucketed ps_lineitem layout (the one-time
+# layout write is timed separately and excluded from their numbers).
+BUCKETED_FAMILY = {"tpch_q2", "tpch_q11", "tpch_q16"}
+# Streaming-execution entries: their DuckDB twin is a trivial batch GROUP
+# BY, so the printed ratio's denominator is not an equivalent engine run
+# (PERF.md streaming cost model) — marked machine-readably in the output.
+STREAM_EXEC = {
+    "stream_tumbling_exec", "stream_session_exec", "stream_dedup_exec",
+    "stream_join_exec", "stream_stateful_exec",
+}
 
 
 def main() -> None:
@@ -72,50 +85,66 @@ def main() -> None:
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="decade_sink_")
-
-    spark = build_session(app_name="decade-bench")
-    spark.range(1000).selectExpr("sum(id)").collect()
     spark_t: dict[str, float] = {}
     spark_sink_t: dict[str, float] = {}
-    for spec in specs:
-        spec.build(spark, sf_dir).collect()  # warmup (codegen + bucket ETL)
-        t0 = time.perf_counter()
-        n = len(spec.build(spark, sf_dir).collect())
-        spark_t[spec.name] = round(time.perf_counter() - t0, 3)
-        print(f"# spark {spec.name}: {spark_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
-        if spec.name in sink:
-            t0 = time.perf_counter()
-            spec.build(spark, sf_dir).write.mode("overwrite").parquet(
-                f"{tmp}/{spec.name}_spark.parquet"
-            )
-            spark_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
-            print(f"# spark-sink {spec.name}: {spark_sink_t[spec.name]:.3f}s", file=sys.stderr)
-    spark.stop()
-
-    con = duckdb.connect()
-    for t in TABLE_NAMES:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path = f"{path}/*.parquet"
-            assert glob.glob(path), path
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     duck_t: dict[str, float] = {}
     duck_sink_t: dict[str, float] = {}
-    for spec in specs:
-        con.execute(spec.oracle).fetchall()
-        t0 = time.perf_counter()
-        n = len(con.execute(spec.oracle).fetchall())
-        duck_t[spec.name] = round(time.perf_counter() - t0, 3)
-        print(f"# duckdb {spec.name}: {duck_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
-        if spec.name in sink:
-            t0 = time.perf_counter()
-            con.execute(
-                f"COPY ({spec.oracle}) TO '{tmp}/{spec.name}_duck.parquet' (FORMAT PARQUET)"
+    bucket_etl: float | None = None
+    # try/finally: a failed query or sink write must not leak the sink dir
+    # (it can hold full query outputs at decade scale).
+    try:
+        spark = build_session(app_name="decade-bench")
+        spark.range(1000).selectExpr("sum(id)").collect()
+        if any(s.name in BUCKETED_FAMILY for s in specs):
+            # The one-time bucketed-layout write (ps_lineitem) is timed
+            # SEPARATELY, before any warmup, so the per-query numbers
+            # measure the query, never the amortized ETL (VERDICT r5 #1).
+            from lakehouse_spain_mobility_spark.queries.tpch import (
+                bucketed_ps_lineitem,
             )
-            duck_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
-            print(f"# duckdb-sink {spec.name}: {duck_sink_t[spec.name]:.3f}s", file=sys.stderr)
-    con.close()
-    shutil.rmtree(tmp, ignore_errors=True)
+
+            t0 = time.perf_counter()
+            bucketed_ps_lineitem(spark, sf_dir).count()
+            bucket_etl = round(time.perf_counter() - t0, 3)
+            print(f"# bucket-etl ps_lineitem layout: {bucket_etl:.3f}s", file=sys.stderr)
+        for spec in specs:
+            spec.build(spark, sf_dir).collect()  # warmup (codegen)
+            t0 = time.perf_counter()
+            n = len(spec.build(spark, sf_dir).collect())
+            spark_t[spec.name] = round(time.perf_counter() - t0, 3)
+            print(f"# spark {spec.name}: {spark_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+            if spec.name in sink:
+                t0 = time.perf_counter()
+                spec.build(spark, sf_dir).write.mode("overwrite").parquet(
+                    f"{tmp}/{spec.name}_spark.parquet"
+                )
+                spark_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
+                print(f"# spark-sink {spec.name}: {spark_sink_t[spec.name]:.3f}s", file=sys.stderr)
+        spark.stop()
+
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path = f"{path}/*.parquet"
+                assert glob.glob(path), path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        for spec in specs:
+            con.execute(spec.oracle).fetchall()
+            t0 = time.perf_counter()
+            n = len(con.execute(spec.oracle).fetchall())
+            duck_t[spec.name] = round(time.perf_counter() - t0, 3)
+            print(f"# duckdb {spec.name}: {duck_t[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+            if spec.name in sink:
+                t0 = time.perf_counter()
+                con.execute(
+                    f"COPY ({spec.oracle}) TO '{tmp}/{spec.name}_duck.parquet' (FORMAT PARQUET)"
+                )
+                duck_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
+                print(f"# duckdb-sink {spec.name}: {duck_sink_t[spec.name]:.3f}s", file=sys.stderr)
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     out = {}
     for q in QUERIES:
@@ -126,13 +155,23 @@ def main() -> None:
             "duckdb": duck_t[q],
             "ratio": round(spark_t[q] / duck_t[q], 3) if duck_t[q] > 0 else None,
         }
+        if q in BUCKETED_FAMILY and bucket_etl is not None:
+            row["layout_etl_excluded_sec"] = bucket_etl
+        if q in STREAM_EXEC:
+            # The oracle twin is a plain batch GROUP BY; the ratio contrasts
+            # a real StateStore micro-batch execution against a trivial
+            # batch denominator — a cost-model note, not an engine defect.
+            row["denominator"] = "batch-oracle"
         if q in spark_sink_t and q in duck_sink_t:
             row["spark_sink"] = spark_sink_t[q]
             row["duckdb_sink"] = duck_sink_t[q]
             if duck_sink_t[q] > 0:
                 row["ratio_sink"] = round(spark_sink_t[q] / duck_sink_t[q], 3)
         out[q] = row
-    print(json.dumps({"label": label, "sf_dir": sf_dir, "queries": out}))
+    payload = {"label": label, "sf_dir": sf_dir, "queries": out}
+    if bucket_etl is not None:
+        payload["bucket_etl_sec"] = bucket_etl
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -90,3 +90,27 @@ def test_oracle_outputs_are_driver_portable():
                 offenders.append(f"{spec.name}.{f.name}: {f.type}")
     con.close()
     assert not offenders, f"pandas-fragile oracle output columns: {offenders}"
+
+
+def test_doc_counts_match_registry():
+    """The inventory counts in COVERAGE.md and README.md are generated
+    (scripts/update_counts.py) — this pins them to load_all() so they can
+    never drift again (VERDICT r5 #8: three different stale counts)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "update_counts",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "update_counts.py"),
+    )
+    uc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(uc)
+    total, singles, suites = uc.counts()
+    for path, pat in (("COVERAGE.md", uc.COVERAGE_PAT), ("README.md", uc.README_PAT)):
+        with open(os.path.join(uc.REPO, path)) as f:
+            m = pat.search(f.read())
+        assert m, f"{path}: count marker missing"
+        assert tuple(int(g) for g in m.groups()) == (total, singles, suites), (
+            f"{path} documents {m.groups()}, registry is "
+            f"({total}, {singles}, {suites}) — run scripts/update_counts.py"
+        )

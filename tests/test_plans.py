@@ -431,3 +431,48 @@ def test_bitext_margin_lsh_no_pair_enumeration(spark):
     plan = pi.executed_plan(df)
     assert "CartesianProduct" not in plan, plan[:2000]
     assert pi.count_nested_loop_joins(df) == 0
+
+
+def test_bitext_margin_lsh_side_broadcast_degrades_past_cap(spark):
+    """Scale guard (VERDICT r5 #2): the language-side joins broadcast iff
+    the side fits MAX_BROADCAST_ROWS; past the cap the forced F.broadcast
+    hint — which never falls back, it dies in the driver — must flip to a
+    spilling shuffle join (the graphrank/ANN degrade-loudly pattern).
+    Asserted by forcing the cap to 0 on the same corpus."""
+    from lakehouse_spain_mobility_spark.queries.similarity import (
+        _bitext_margin_lsh,
+    )
+
+    # Disable the planner's own size-based broadcasts: at test scale every
+    # relation fits the auto threshold, which would mask the hint flip.
+    # With it off, a BroadcastHashJoin can only come from the F.broadcast
+    # hint — the exact thing the cap guard must add/remove.
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = _bitext_margin_lsh(spark, SF_DIR_ORACLE, broadcast_cap=10**9)
+        assert pi.count_broadcast_joins(below) >= 2  # both sides hinted
+
+        above = _bitext_margin_lsh(spark, SF_DIR_ORACLE, broadcast_cap=0)
+        # past the cap no hint is attached: the side joins must plan as
+        # sort-merge or shuffled-hash joins on the id keys, zero broadcasts
+        assert pi.count_broadcast_joins(above) == 0
+        assert (
+            pi.count_sortmerge_joins(above) + pi.count_shuffled_hash_joins(above) >= 2
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        if saved_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", saved_aqe)
+
+
+def test_bitext_margin_lsh_dedup_same_plan_shape(spark):
+    """The dedup variant composes one (label, embedding) hash aggregation
+    in front of the identical candidate-bounded plan — still no pair
+    enumeration anywhere."""
+    df = REG["bitext_margin_lsh_dedup"].build(spark, SF_DIR_ORACLE)
+    assert pi.count_nested_loop_joins(df) == 0
