@@ -50,8 +50,8 @@ BENCH2 = [
     "python_datasource_scan",
     # round-5: candidate-bounded bitext (queries/similarity.py)
     "bitext_margin_lsh",
-    # round-6: dedup-before-mine composition (queries/similarity.py)
-    "bitext_margin_lsh_dedup",
+    # round-6: dedup-before-mine composition + native-SQL dissolve
+    "bitext_margin_lsh_dedup", "spatial_dissolve_native",
 ]
 
 

@@ -250,6 +250,88 @@ FROM cent GROUP BY grp
 """
 
 
+def q_spatial_dissolve_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dissolve computed entirely in native Spark SQL (VERDICT r5 #6):
+    the oracle's own parse-the-WKT + shoelace-series recipe, expressed with
+    split/transform/aggregate — zero Python, zero Arrow round-trips.
+
+    Same inputs, same outputs, same closing divisions as
+    ``q_spatial_dissolve`` (bit-parity argument unchanged: integer coords
+    keep every cross term exact and rectangle centroids land on .5s, so
+    the per-part values are exactly representable and the aggregation is
+    order-free). The kernel form above stays registered as the
+    pipeline-fidelity contract — it exercises the REAL geometry kernels
+    the silver pipeline runs (``operators/spatial.py:st_geom_stats``) and
+    its decade entry prices that Python routing; THIS form is what the
+    engine plans when the geometry math itself is the query."""
+    c = load(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("bigint")
+    x0 = ((key % 50) * 100).cast("int")
+    y0 = ((key % 37) * 100).cast("int")
+    x1 = (x0 + 100 + (key % 7) * 20).cast("int")
+    y1 = (y0 + 100 + (key % 11) * 10).cast("int")
+    parts = c.select(
+        (key % 25).alias("grp"),
+        F.format_string(
+            "POLYGON ((%d %d, %d %d, %d %d, %d %d, %d %d))",
+            x0, y0, x1, y0, x1, y1, x0, y1, x0, y0,
+        ).alias("geometry"),
+    )
+    parts = spread(parts, spark)
+    # One parse per row behind an explode(array()) barrier: the ring array
+    # is referenced by four shoelace folds + four extent reductions below,
+    # and CollapseProject would otherwise re-split the WKT per reference
+    # (trap #1). Generic over ring length, like the oracle's
+    # generate_series — not unrolled to the rectangle's 5 points.
+    ring = F.expr(
+        "transform("
+        "  split(replace(replace(geometry, 'POLYGON ((', ''), '))', ''), ', '),"
+        "  p -> struct(CAST(split(p, ' ')[0] AS DOUBLE) AS x,"
+        "              CAST(split(p, ' ')[1] AS DOUBLE) AS y))"
+    )
+    g = parts.select("grp", F.explode(F.array(ring)).alias("ring"))
+
+    def shoelace(term: str) -> F.Column:
+        # Σ over ring edges of `term` — left fold, same order as the
+        # oracle's list_reduce (exact integer partials, order-free anyway)
+        return F.expr(
+            f"aggregate(transform(sequence(0, size(ring) - 2), i -> {term}),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+
+    cross = "(ring[i].x * ring[i+1].y - ring[i+1].x * ring[i].y)"
+    part = g.select(
+        "grp",
+        (shoelace(cross) / F.lit(2.0)).alias("a"),
+        shoelace(f"(ring[i].x + ring[i+1].x) * {cross}").alias("cx6"),
+        shoelace(f"(ring[i].y + ring[i+1].y) * {cross}").alias("cy6"),
+        shoelace(cross).alias("s2"),
+        F.expr("array_min(transform(ring, p -> p.x))").alias("xmin"),
+        F.expr("array_min(transform(ring, p -> p.y))").alias("ymin"),
+        F.expr("array_max(transform(ring, p -> p.x))").alias("xmax"),
+        F.expr("array_max(transform(ring, p -> p.y))").alias("ymax"),
+    ).select(
+        "grp",
+        "a",
+        (F.col("cx6") / (F.lit(3.0) * F.col("s2"))).alias("cx"),
+        (F.col("cy6") / (F.lit(3.0) * F.col("s2"))).alias("cy"),
+        "xmin", "ymin", "xmax", "ymax",
+    )
+    return part.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("a").cast("bigint").alias("area_sum"),
+        micro(F.sum(F.col("cx") * F.col("a")) / F.sum("a")).alias("cx_micro"),
+        micro(F.sum(F.col("cy") * F.col("a")) / F.sum("a")).alias("cy_micro"),
+        F.min("xmin").cast("bigint").alias("xmin"),
+        F.min("ymin").cast("bigint").alias("ymin"),
+        F.max("xmax").cast("bigint").alias("xmax"),
+        F.max("ymax").cast("bigint").alias("ymax"),
+    ).select(
+        "grp", "n_parts", "area_sum", "cx_micro", "cy_micro",
+        "xmin", "ymin", "xmax", "ymax",
+    )
+
+
 register(
     QuerySpec(
         "spatial_dissolve",
@@ -258,6 +340,17 @@ register(
         "J7,A9,F-geo",
         False,
         "Dissolve overlay: WKT rectangles through the real parser/shoelace/union kernels vs closed-form oracle",
+    )
+)
+
+register(
+    QuerySpec(
+        "spatial_dissolve_native",
+        q_spatial_dissolve_native,
+        _DISSOLVE_SQL,
+        "J7,A9,F-geo",
+        False,
+        "Dissolve overlay in native Spark SQL: the oracle's parse+shoelace series recipe, zero Python",
     )
 )
 

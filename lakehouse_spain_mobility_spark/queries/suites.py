@@ -230,8 +230,9 @@ SUITES: dict[str, list[str]] = {
         "python_datasource_scan",
         # round-5 fold-in (VERDICT r4 #2): the candidate-bounded bitext path
         "bitext_margin_lsh",
-        # round-6 fold-in (VERDICT r5 #2): dedup-before-mine composition
-        "bitext_margin_lsh_dedup",
+        # round-6 fold-in (VERDICT r5 #2, #6): dedup-before-mine composition
+        # + the native-SQL shoelace dissolve
+        "bitext_margin_lsh_dedup", "spatial_dissolve_native",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

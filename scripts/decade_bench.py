@@ -48,7 +48,8 @@ QUERIES = [
     # round-5 new operator: scale-measured from birth
     "bitext_margin_lsh",
     # round-6: replica-free decade curve for the candidate-bounded plan
-    "bitext_margin_lsh_dedup",
+    # + the native-SQL dissolve alongside the kernel form
+    "bitext_margin_lsh_dedup", "spatial_dissolve_native",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
