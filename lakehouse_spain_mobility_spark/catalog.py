@@ -120,7 +120,12 @@ class Warehouse:
         out.write.mode("overwrite").parquet(self.path(name))
 
     def create_or_replace_bucketed(
-        self, name: str, df: DataFrame, bucket_by: list[str], n_buckets: int = 32
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_by: list[str],
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
     ) -> DataFrame:
         """Hash-bucketed + sorted table layout: ``bucketBy`` makes the scan
         report ``HashPartitioning(bucket_by, n_buckets)``, so joins and
@@ -128,6 +133,11 @@ class Warehouse:
         one-time ETL write replaces a per-query shuffle of the fact
         relation (the 100 TB answer to fine-grained-aggregation shapes
         like TPC-H Q2/Q11/Q16's partsupp surrogate, VERDICT r3 #2).
+        ``bucket_by`` may be a strict SUBSET of downstream grouping keys:
+        hash(k) satisfies ClusteredDistribution over any superset of k, so
+        bucketing by the coarser key serves groupBy(k, …), windows over k,
+        and self-joins on k from ONE layout (the subset-key single-exchange
+        idiom, SCALE.md §8g — materialized as a table instead of a shuffle).
         Registered in the session catalog (saveAsTable) because file-based
         bucketing metadata lives there; returns the table DataFrame."""
         spark = df.sparkSession
@@ -139,7 +149,7 @@ class Warehouse:
             # warehouse's root, so concurrent processes with distinct
             # Warehouse roots never clobber each other's files
             .bucketBy(n_buckets, *bucket_by)
-            .sortBy(*bucket_by)
+            .sortBy(*(sort_by if sort_by is not None else bucket_by))
             .saveAsTable(name)
         )
         return spark.table(name)

@@ -719,7 +719,7 @@ for _spec in [
 # with exclusion dim (Q16), and per-group availability threshold (Q20).
 
 
-def _ps(spark, sf_dir, lineitem=None):
+def _ps(spark, sf_dir, lineitem=None, part_keys=None, supp_keys=None):
     """Partsupp surrogate. The (l_partkey, l_suppkey) aggregation produces
     ~|lineitem| groups, so map-side partials reduce nothing and a raw scan
     shuffles the whole relation (measured 5.3-5.5× vs the oracle at sf1).
@@ -728,8 +728,26 @@ def _ps(spark, sf_dir, lineitem=None):
     subplan then has ZERO Exchange (plan-asserted in
     test_scale_patterns.py::test_bucketed_ps_aggregation_no_exchange).
     Pass ``lineitem=load(spark, sf_dir, "lineitem")`` to force the raw
-    scan-and-shuffle plan (the A/B reference)."""
+    scan-and-shuffle plan (the A/B reference).
+
+    ``part_keys`` / ``supp_keys`` (single-column DataFrames of l_partkey /
+    l_suppkey values) semi-join the fact BELOW the aggregation. Every
+    consumer filters ps on a dimension predicate over a GROUP KEY, and
+    such filters commute with the agg — dropping whole (partkey, suppkey)
+    groups before aggregating leaves every surviving group's count/sum/min
+    byte-identical — so the agg processes the selected fraction of the
+    fact instead of all of it (measured sf10: the unfiltered agg alone was
+    3.8 s of q2's 5.7 s; VERDICT r5 #1). The broadcast semi-join preserves
+    the bucketed scan's partitioning: still zero Exchange."""
     li = lineitem if lineitem is not None else bucketed_ps_lineitem(spark, sf_dir)
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys.toDF("l_partkey")), "l_partkey", "left_semi"
+        )
+    if supp_keys is not None:
+        li = li.join(
+            F.broadcast(supp_keys.toDF("l_suppkey")), "l_suppkey", "left_semi"
+        )
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg(
@@ -741,10 +759,15 @@ def _ps(spark, sf_dir, lineitem=None):
 
 def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
     """One-time ETL layout for the partsupp-surrogate family: the four
-    _ps input columns of lineitem, hash-bucketed + sorted on the agg keys
-    (``catalog.py:create_or_replace_bucketed``). Built lazily once per
-    (session, sf_dir, n_buckets) — bench warmups pay the write, every
-    subsequent q2/q11/q16 run reads the zero-Exchange layout, exactly how
+    _ps input columns of lineitem, hash-bucketed on ``l_partkey`` ALONE
+    and sorted on (l_partkey, l_suppkey). The subset key serves every
+    clustered requirement in the family from one layout: the
+    (partkey, suppkey) agg (hash(partkey) collocates its groups), q2's
+    per-part window MIN, and q11's per-part value rollup — all with ZERO
+    Exchange (the round-5 two-key layout satisfied only the first; q2/q11
+    then re-shuffled the catalog for their partkey-level pass). Built
+    lazily once per (session, sf_dir, n_buckets) — bench warmups pay the
+    write, every subsequent q2/q11/q16 run reads the layout, exactly how
     a lakehouse amortizes layout cost across a query family. Data lands
     under a per-process tmp root so concurrent sessions never collide."""
     import os
@@ -762,7 +785,9 @@ def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
     except OSError:
         mtime = 0
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", f"{sf_dir.strip('/')}_{mtime}")
-    name = f"ps_lineitem_b{n_buckets}_{tag}"
+    # "pk" marks the partkey-subset bucket spec: a layout written under the
+    # old two-key spec must never be served for the new plan shape
+    name = f"ps_lineitem_pk_b{n_buckets}_{tag}"
     if spark.catalog.tableExists(name):
         # idempotent engine convention (set at build_session; re-pinned here
         # for foreign sessions) — never re-plan a bucketed scan away
@@ -780,7 +805,7 @@ def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
     # rest of the session — drop the catalog entries and their files so
     # stale layouts don't accumulate unbounded across regenerations.
     # trailing "_" so e.g. ..._sf1_ never matches ..._sf10_<mtime>
-    prefix = f"ps_lineitem_b{n_buckets}_" + re.sub(
+    prefix = f"ps_lineitem_pk_b{n_buckets}_" + re.sub(
         r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")
     ) + "_"
     for t in spark.catalog.listTables():
@@ -790,7 +815,7 @@ def bucketed_ps_lineitem(spark, sf_dir, n_buckets: int = 32):
 
             shutil.rmtree(wh.path(t.name), ignore_errors=True)
     return wh.create_or_replace_bucketed(
-        name, li, ["l_partkey", "l_suppkey"], n_buckets
+        name, li, ["l_partkey"], n_buckets, sort_by=["l_partkey", "l_suppkey"]
     )
 
 
@@ -810,11 +835,15 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str, lineitem=None) -> DataFrame:
 
     from ..functions.deterministic import micro
 
-    ps = _ps(spark, sf_dir, lineitem)
     p = load(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    # The LARGE predicate is on a GROUP KEY of ps, so it pushes below the
+    # aggregation as a semi-join: the agg processes only LARGE parts' rows
+    # (~1/7 of the fact) instead of aggregating everything and discarding
+    # 6/7 at the join (the measured sf10 dominator, VERDICT r5 #1).
+    ps = _ps(spark, sf_dir, lineitem, part_keys=p.select("p_partkey"))
     cat = (
         ps.join(F.broadcast(p.select("p_partkey", "p_brand")), ps.ps_partkey == F.col("p_partkey"))
         .join(F.broadcast(s.select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")),
@@ -823,7 +852,12 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str, lineitem=None) -> DataFrame:
               F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r.select("r_regionkey")), F.col("n_regionkey") == F.col("r_regionkey"))
     )
-    w = Window.partitionBy("p_partkey")
+    # window keyed on the ps-side part key: the partkey-bucketed layout
+    # already satisfies its clustering, so the min-per-part pass sorts
+    # in place with NO Exchange (the p_partkey spelling is the same value
+    # post-join, but keying on the streamed column keeps the contract
+    # independent of join-equivalence propagation)
+    w = Window.partitionBy("ps_partkey")
     best = cat.withColumn("min_cost", F.min("ps_unitcost").over(w)).filter(
         F.col("ps_unitcost") == F.col("min_cost")
     )
@@ -878,27 +912,31 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str, lineitem=None) -> DataFrame:
     value-share-vs-global-scalar shape."""
     from ..functions.deterministic import micro
 
-    ps = _ps(spark, sf_dir, lineitem)
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
-    nat_ps = ps.join(
-        F.broadcast(
-            s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
-        ),
-        ps.ps_suppkey == F.col("s_suppkey"),
-    ).withColumn("value", F.col("ps_qty") * F.col("ps_unitcost"))
+    nat_keys = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    # The nation predicate is on a GROUP KEY of ps (suppkey), so it pushes
+    # below the aggregation as a semi-join — the agg sees only NATION_3
+    # suppliers' rows (~1/|nations| of the fact) and the old join-after-agg
+    # becomes a no-op (every surviving group already qualifies).
+    nat_ps = _ps(spark, sf_dir, lineitem, supp_keys=nat_keys).withColumn(
+        "value", F.col("ps_qty") * F.col("ps_unitcost")
+    )
     per_part = nat_ps.groupBy("ps_partkey").agg(dsum(F.col("value")).alias("part_value"))
     # The global scalar is an exact re-aggregate of the per-part sums (the
     # fixed-point micros are integers, so Σ of group sums ≡ the row-level
     # Σ the oracle computes — exact while each part's micro-sum stays in
     # the double-exact range < 2^53, i.e. part values < ~9e9 units;
     # dsum_rollup_guard raises loudly past that bound), taken as a 1-row
-    # agg crossJoin(broadcast)-ed back. Both consumers of per_part share
-    # the identical Exchange(hash(ps_partkey)) subtree, so ReuseExchange
-    # materializes the ps/nat_ps pipeline ONCE; only the part-level final
-    # aggregation above the shuffle runs per consumer. (The previous form
-    # computed the total as Window.partitionBy() over the part-level frame
-    # — dimension-sized, but still a one-task pass over ~20M rows at 100×;
+    # agg crossJoin(broadcast)-ed back. On the partkey-bucketed layout
+    # per_part is ZERO-Exchange (hash(partkey) satisfies both group
+    # levels), so there is no shuffle to reuse; the two consumers
+    # (per_part rows, 1-row total) recompute a pipeline that now reads
+    # only the nation's slice of the fact. (The previous form computed
+    # the total as Window.partitionBy() over the part-level frame —
+    # dimension-sized, but still a one-task pass over ~20M rows at 100×;
     # VERDICT r4 #4.)
     from ..functions.deterministic import dsum_rollup_guard
 
@@ -943,13 +981,17 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str, lineitem=None) -> DataFrame:
     """Q16 analog: supplier counts per (brand, type, size) for non-PROMO
     parts in selected sizes, excluding '...0'-suffixed suppliers (the
     complaints analog) — distinct-count with an exclusion dimension."""
-    ps = _ps(spark, sf_dir, lineitem)
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24)
     )
     s = load(spark, sf_dir, "supplier").filter(F.col("s_name").endswith("0"))
+    # both predicates are on GROUP KEYS of ps: the part selection pushes
+    # below the aggregation (the agg sees only qualifying parts' rows);
+    # the supplier EXCLUSION stays above it (anti-joins don't fit the
+    # semi-join pushdown helper, and the excluded set is dim-small)
+    ps = _ps(spark, sf_dir, lineitem, part_keys=p.select("p_partkey"))
     return (
         ps.join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
                 ps.ps_partkey == F.col("p_partkey"))

@@ -414,29 +414,48 @@ def test_diversity_prune_quota_paths_identical(spark, tmp_path):
 
 
 def test_bucketed_ps_aggregation_no_exchange(spark):
-    """VERDICT r3 #2: the partsupp surrogate aggregates ~|lineitem| groups,
-    so map-side partials reduce nothing and the whole relation shuffles.
-    With lineitem bucketed on (l_partkey, l_suppkey) the bucketed scan
-    already satisfies the aggregation's distribution requirement — the _ps
-    subplan must contain ZERO Exchange, and the full Q16 routed through it
-    must return exactly the default-path rows."""
+    """VERDICT r3 #2 + r5 #1: the partsupp surrogate aggregates
+    ~|lineitem| groups, so map-side partials reduce nothing and the whole
+    relation shuffles. With lineitem bucketed on l_partkey ALONE (the
+    subset key: hash(partkey) satisfies ClusteredDistribution over any
+    key set containing it) the one layout serves the (partkey, suppkey)
+    aggregation, q2's per-part window MIN, and q11's per-part rollup —
+    the _ps subplan AND the whole of q2 must contain ZERO shuffle
+    Exchange, and the full Q16/Q2 routed through it must return exactly
+    the raw-path rows."""
     from lakehouse_spain_mobility_spark.queries.tpch import (
         _ps,
         bucketed_ps_lineitem,
+        q_tpch_q2,
         q_tpch_q16,
     )
 
     bli = bucketed_ps_lineitem(spark, SF_DIR_ORACLE, n_buckets=8)
     ps = _ps(spark, SF_DIR_ORACLE, lineitem=bli)
     assert pi.count_shuffles(ps) == 0, pi.executed_plan(ps)[:2000]
+    # the group-key semi-join pushdown must not reintroduce an exchange
+    p_keys = load(spark, SF_DIR_ORACLE, "part").filter(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey")
+    ps_pushed = _ps(spark, SF_DIR_ORACLE, lineitem=bli, part_keys=p_keys)
+    assert pi.count_shuffles(ps_pushed) == 0, pi.executed_plan(ps_pushed)[:2000]
+    # q2 end-to-end: window keyed on the bucket subset key + heap top-k →
+    # zero shuffle anywhere in the plan
+    q2 = q_tpch_q2(spark, SF_DIR_ORACLE, lineitem=bli)
+    assert pi.count_shuffles(q2) == 0, pi.executed_plan(q2)[:2000]
     # default route = bucketed; the raw scan-and-shuffle path is the A/B
     # reference and must agree row-for-row
-    got = sorted(map(tuple, q_tpch_q16(spark, SF_DIR_ORACLE, lineitem=bli).collect()))
     raw = load(spark, SF_DIR_ORACLE, "lineitem")
+    got = sorted(map(tuple, q_tpch_q16(spark, SF_DIR_ORACLE, lineitem=bli).collect()))
     want = sorted(
         map(tuple, q_tpch_q16(spark, SF_DIR_ORACLE, lineitem=raw).collect())
     )
     assert got == want and len(got) > 0
+    got2 = sorted(map(tuple, q2.collect()))
+    want2 = sorted(
+        map(tuple, q_tpch_q2(spark, SF_DIR_ORACLE, lineitem=raw).collect())
+    )
+    assert got2 == want2 and len(got2) > 0
 
 
 def test_s3a_session_conf_and_storage_suite_under_it():
