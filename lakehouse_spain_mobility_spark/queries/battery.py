@@ -441,43 +441,133 @@ GROUP BY event_type
 
 
 # --- Window frame battery: value frames + boundary navigation ---------------
-def q_window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_frames_battery(
+    spark: SparkSession, sf_dir: str, serial: bool = False
+) -> DataFrame:
     """The frame shapes window_battery doesn't cover: first/last/nth_value
     under explicit ROWS frames, a centered ±2-row moving window, and a
-    numeric RANGE offset frame (5 value-units back, peers included). One
-    shuffle on event_type serves the ROWS windows; the RANGE window sorts
-    on the floored value within the same partitioning."""
+    numeric RANGE offset frame (5 value-units back, peers included).
+
+    The SQL spells every column as a window over PARTITION BY event_type —
+    a ~5-value domain, so Spark's WindowExec would run the whole relation
+    on ≤5 tasks (measured sf10: 23 s of window compute with 27 cores idle;
+    the round-5 'writer gap' decomposition was wrong — count() had pruned
+    the window expressions, the sink inherited the serial stage). Round 6
+    re-expresses each frame in its parallel normal form, value-identical:
+
+    - fv / lv / nth3 are per-partition CONSTANTS (cumulative FIRST = the
+      min (value,id) row; CURRENT..FOLLOWING LAST = the max row; cumulative
+      NTH(3) = the 3rd-smallest row, NULL for the two rows before it) —
+      one min/max pass plus a two-step broadcast min-chain, no sort;
+    - the ±2 ROWS frames run through the chunk-parallel ghost-cell window
+      (operators/pwindow.py) — exact, cluster-wide parallel;
+    - the RANGE(-5) count is a 6-term rollup over the (event_type,
+      floor(value)) counts table — a well-distributed aggregation joined
+      back on the key (AQE broadcasts the small side at test scale).
+
+    ``serial=True`` keeps the literal WindowExec form — the A/B reference
+    asserted equal in tests."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # The SQL-shaped form of lv is LAST_VALUE over [CURRENT ROW, UNBOUNDED
-    # FOLLOWING] (the oracle keeps it). Round 3 rewrote Spark's O(n²)
-    # UnboundedFollowingWindowFunctionFrame as FIRST over the reversed
-    # cumulative frame; round 4 observes the frame always reaches the
-    # partition END, so lv is CONSTANT per partition — the row with max
-    # (value, event_id) — and an UNORDERED full-partition MAX(STRUCT)
-    # computes it with no sort at all (the reversed form paid a second,
-    # descending sort of the whole fact; sf3 decade check).
-    w_all = Window.partitionBy("event_type")
-    lv = F.max(F.struct(F.col("value"), F.col("event_id"))).over(w_all)["event_id"]
-    w_mov = w.rowsBetween(-2, 2)
-    w_rng = (
-        Window.partitionBy("event_type")
-        .orderBy(F.floor("value").cast("long"))
-        .rangeBetween(-5, 0)
+    key = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
+    if serial:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w_all = Window.partitionBy("event_type")
+        lv = F.max(key).over(w_all)["e"]
+        w_mov = w.rowsBetween(-2, 2)
+        w_rng = (
+            Window.partitionBy("event_type")
+            .orderBy(F.floor("value").cast("long"))
+            .rangeBetween(-5, 0)
+        )
+        mov_sum = F.sum(
+            F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
+        ).over(w_mov)
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.first("event_id").over(w_cum).alias("fv"),
+            lv.alias("lv"),
+            F.nth_value("event_id", 3).over(w_cum).alias("nth3"),
+            F.count("*").over(w_mov).cast("bigint").alias("mov_cnt"),
+            mov_sum.cast("long").alias("mov_sum_ppm"),
+            F.count("*").over(w_rng).cast("bigint").alias("rng_cnt"),
+        )
+
+    from ..operators.pwindow import sliding_rows_window
+
+    # per-partition constants: min/max in one pass, then the 2nd and 3rd
+    # smallest via broadcast-filtered re-aggregation (keys are unique —
+    # event_id is — so strict > steps one rank at a time)
+    g1 = ev.groupBy("event_type").agg(
+        F.min(key).alias("m1"), F.max(key).alias("mx")
     )
-    mov_sum = F.sum(
-        F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
-    ).over(w_mov)
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.first("event_id").over(w_cum).alias("fv"),
-        lv.alias("lv"),
-        F.nth_value("event_id", 3).over(w_cum).alias("nth3"),
-        F.count("*").over(w_mov).cast("bigint").alias("mov_cnt"),
-        mov_sum.cast("long").alias("mov_sum_ppm"),
-        F.count("*").over(w_rng).cast("bigint").alias("rng_cnt"),
+    g2 = (
+        ev.join(F.broadcast(g1), "event_type")
+        .filter(key > F.col("m1"))
+        .groupBy("event_type")
+        .agg(F.min(key).alias("m2"))
+    )
+    g3 = (
+        ev.join(F.broadcast(g2), "event_type")
+        .filter(key > F.col("m2"))
+        .groupBy("event_type")
+        .agg(F.min(key).alias("m3"))
+    )
+    consts = g1.join(g2, "event_type", "left").join(g3, "event_type", "left")
+
+    # RANGE(-5) count: per-(type, floor) counts, 6-term rollup, join back.
+    k = F.floor("value").cast("long")
+    ck = ev.groupBy(F.col("event_type"), k.alias("k")).agg(
+        F.count("*").alias("ck")
+    )
+    rng = (
+        ck.select(
+            F.col("event_type").alias("rng_et"),
+            F.explode(F.sequence(F.col("k"), F.col("k") + F.lit(5))).alias("rng_k"),
+            "ck",
+        )
+        .groupBy("rng_et", "rng_k")
+        .agg(F.sum("ck").cast("bigint").alias("rng_cnt"))
+    )
+
+    mov = sliding_rows_window(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        ["value", "event_id"],
+        {
+            "mov_cnt": lambda w: F.count("*").over(w).cast("bigint"),
+            # ppm units are exact integers; a 5-row sum of |value|·1e6 sits
+            # far inside long range, so the decimal(38,0) the oracle spells
+            # is computed in long arithmetic bit-identically
+            "mov_sum_ppm": lambda w: F.sum(
+                F.round(F.col("value") * F.lit(1000000.0)).cast("long")
+            )
+            .over(w)
+            .cast("long"),
+        },
+        -2,
+        2,
+    )
+    return (
+        mov.join(F.broadcast(consts), "event_type")
+        .join(
+            rng,
+            (F.col("event_type") == F.col("rng_et")) & (k == F.col("rng_k")),
+            "left",
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("m1")["e"].alias("fv"),
+            F.col("mx")["e"].alias("lv"),
+            F.when(key < F.col("m3"), F.lit(None))
+            .otherwise(F.col("m3")["e"])
+            .alias("nth3"),
+            "mov_cnt",
+            "mov_sum_ppm",
+            "rng_cnt",
+        )
     )
 
 
