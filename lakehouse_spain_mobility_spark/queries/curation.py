@@ -56,7 +56,7 @@ _TOKENIZE = "[^a-z]+"
 
 
 def _tokens_col() -> F.Column:
-    return F.filter(F.split(F.lower("text"), _TOKENIZE), lambda x: x != "")
+    return F.array_remove(F.split(F.lower("text"), _TOKENIZE), "")
 
 
 def q_substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,7 +51,7 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round-2 form built bigrams with lead() over (doc_id, pos); Catalyst
     # recomputes the `bigrams` subtree for each of its consumers, so that
     # window's shuffle-sort ran three times per query.
-    warr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    warr = F.array_remove(F.split(F.col("text"), " "), "")
     # explode(array(...)) is a projection barrier: the split+filter array
     # is referenced five times below (size guard + two slice bounds + two
     # slice sources), and CollapseProject would otherwise re-evaluate the
@@ -432,7 +432,7 @@ def _kn_ppm() -> str:
 
 def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    warr = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    warr = F.array_remove(F.split(F.col("text"), " "), "")
     docs = d.select("doc_id", F.explode(F.array(warr)).alias("wa"))
     pairs = F.when(
         F.size("wa") >= 2,

@@ -122,7 +122,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         - F.lit(1)
     ) % F.lit(_N_SHARDS)
-    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+    toks = F.size(F.array_remove(F.split(F.col("text"), " "), ""))
     return (
         d.select(
             shard.cast("int").alias("shard"),

@@ -78,7 +78,7 @@ def q_line_dedup(
     spark: SparkSession, sf_dir: str, skew_safe: bool = True
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
     # explode(array(...)) is a projection barrier (cf. queries/bloom.py):
     # the token array is referenced by the line count, the slice bounds
     # and the slices — CollapseProject would re-tokenize per reference.
@@ -111,11 +111,32 @@ def q_line_dedup(
     # exchange, so no reducer ever sorts a hot group (SCALE.md §8c —
     # implemented r4, was documented-only). The row_number window form is
     # kept for the A/B equivalence test.
-    hashed = lines.withColumn("lh", F.md5(F.col("line").cast("binary")))
+    # Everything downstream of the keep-first exchange needs only the
+    # line's token count and its (line_no, line) fingerprint — both pure
+    # per-occurrence projections — so they're computed BEFORE the shuffle
+    # and the line text itself never rides the wire (3 longs per row
+    # instead of a ~100 B string). The fingerprint is an ORDER-FREE
+    # multiset checksum (the inverted-index postings-check idiom,
+    # queries/search.py:233): 40-bit md5 prefix per pair, hi/lo long
+    # partials recombined in DECIMAL(38,0); line_no pins reconstruction
+    # order, and it partial-aggregates map-side instead of buffering each
+    # doc's lines (collect_list) and walking them with an interpreted
+    # transform lambda (trap #25, the round-3 form).
+    pair_h = F.expr(
+        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(line_no AS STRING), "
+        "line) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    hashed = lines.select(
+        "doc_id",
+        "line_no",
+        F.md5(F.col("line").cast("binary")).alias("lh"),
+        F.size(F.split(F.col("line"), " ")).cast("bigint").alias("ntok"),
+        pair_h.alias("ph"),
+    )
     if skew_safe:
         from ..operators.skew import keep_first
 
-        kept = keep_first(hashed, ["lh"], ["doc_id", "line_no"], ["line"])
+        kept = keep_first(hashed, ["lh"], ["doc_id", "line_no"], ["ntok", "ph"])
     else:
         w_first = Window.partitionBy("lh").orderBy("doc_id", "line_no")
         kept = hashed.withColumn("rn", F.row_number().over(w_first)).filter(
@@ -123,16 +144,12 @@ def q_line_dedup(
         )
     per_doc = kept.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept_lines"),
-        F.sum(F.size(F.split(F.col("line"), " "))).cast("bigint").alias("n_kept_tokens"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("text_hash"),
+        F.sum("ntok").cast("bigint").alias("n_kept_tokens"),
+        (
+            F.sum(F.shiftright(F.col("ph"), 31)).cast("decimal(38,0)")
+            * F.lit(_LD_POW31).cast("decimal(38,0)")
+            + F.sum(F.col("ph").bitwiseAND(F.lit(_LD_MASK31))).cast("decimal(38,0)")
+        ).cast("string").alias("text_check"),
     )
     base = d.select(
         "doc_id",
@@ -145,9 +162,12 @@ def q_line_dedup(
         "n_tokens",
         F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("bigint").alias("n_kept_lines"),
         F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("bigint").alias("n_kept_tokens"),
-        F.coalesce(F.col("text_hash"), F.md5(F.lit("").cast("binary"))).alias("text_hash"),
+        F.coalesce(F.col("text_check"), F.lit("0")).alias("text_check"),
     )
 
+
+_LD_MASK31 = (1 << 31) - 1
+_LD_POW31 = 1 << 31
 
 _LINE_SQL = f"""
 WITH toks AS (
@@ -171,15 +191,20 @@ WITH toks AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
          CAST(SUM(len(string_split(line, ' '))) AS BIGINT) AS n_kept_tokens,
-         md5(string_agg(line, ' ' ORDER BY line_no)) AS text_hash
-  FROM ranked WHERE rn = 1 GROUP BY doc_id
+         CAST(CAST(SUM(ph >> 31) AS DECIMAL(38,0)) * {_LD_POW31}
+              + CAST(SUM(ph & {_LD_MASK31}) AS DECIMAL(38,0)) AS VARCHAR) AS text_check
+  FROM (
+    SELECT *,
+           CAST(concat('0x', substring(md5(CAST(line_no AS VARCHAR) || ':' || line), 1, 10)) AS BIGINT) AS ph
+    FROM ranked WHERE rn = 1
+  ) GROUP BY doc_id
 )
 SELECT t.doc_id,
        CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines,
        CAST(len(t.w) AS BIGINT) AS n_tokens,
        CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_kept_lines,
        CAST(COALESCE(p.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
-       COALESCE(p.text_hash, md5('')) AS text_hash
+       COALESCE(p.text_check, '0') AS text_check
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 
@@ -277,7 +302,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional few-file scan spread (tables.spread) — the bigram
     # explode + count partials are map-side work
     d = spread(load(spark, sf_dir, "documents"), spark)
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
     docs = d.select("doc_id", F.explode(F.array(toks)).alias("wa"))
     pairs = F.when(
         F.size("wa") >= 2,
@@ -491,7 +516,7 @@ _BP_MIN_DOCS = 4
 
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    toks = F.array_remove(F.split(F.col("text"), " "), "")
     docs = d.select("doc_id", "source", F.explode(F.array(toks)).alias("w"))
     n_lines = F.ceil(F.size("w") / F.lit(_LINE_TOKENS)).cast("int")
     lines = docs.select(
