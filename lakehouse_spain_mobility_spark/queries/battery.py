@@ -29,31 +29,135 @@ from .tables import load
 
 
 # --- Window-function battery (§2.6 upgrade) ---------------------------------
-def q_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_battery(
+    spark: SparkSession,
+    sf_dir: str,
+    serial: bool = False,
+    min_parallel_rows: int | None = None,
+) -> DataFrame:
     """row_number / ntile / lag / lead on a unique ordering plus
     rank / dense_rank / percent_rank / cume_dist on a tied ordering, and a
-    running fixed-point sum. One shuffle on event_type serves all windows."""
+    running fixed-point sum.
+
+    The SQL windows over PARTITION BY event_type — a ~5-value domain, the
+    same one-task-per-value WindowExec serializer the frames battery
+    escaped in round 6. The default form re-expresses each function in a
+    scale-parallel normal form, value-identical:
+
+    - row_number / ntile / lag / lead / running sum run through the
+      chunk-parallel rank stencil (operators/pwindow.py ranked_window):
+      local per-chunk ranks + a broadcast per-(chunk, partition) scalar
+      carry (prefix counts / prefix sums / border order keys) — ONE fact
+      exchange, sort stage task count = chunk count. ntile(4) is then a
+      closed-form function of (row_number, partition count): with
+      q = N div 4, r = N mod 4 the first r tiles take q+1 rows.
+    - the w2 rank family (rank / dense_rank / percent_rank / cume_dist,
+      ORDER BY floor(value)) has whole-floor-bucket ties, so every value
+      is a pure function of the per-(event_type, floor) COUNTS table —
+      tiny (|types| × |floor domain|, data-size-independent), windowed at
+      counts-table size, broadcast back onto the fact.
+
+    ``serial=True`` keeps the literal WindowExec form — the A/B reference
+    (tests/test_pwindow.py::test_window_battery_serial_parallel_ab)."""
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
-    w2 = Window.partitionBy("event_type").orderBy(F.floor("value"))
-    wrun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    running_dec = F.sum(
-        F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
-    ).over(wrun)
-    return ev.select(
-        "event_id",
-        "event_type",
-        F.row_number().over(w1).alias("rn"),
-        F.ntile(4).over(w1).alias("quartile"),
-        F.lag("value").over(w1).alias("prev_value"),
-        F.lead("value").over(w1).alias("next_value"),
-        F.rank().over(w2).cast("int").alias("rnk"),
-        F.dense_rank().over(w2).cast("int").alias("drnk"),
-        F.percent_rank().over(w2).alias("pct_rank"),
-        F.cume_dist().over(w2).alias("cdist"),
-        (running_dec.cast("string").cast("double") / F.lit(1000000.0)).alias(
-            "running_value"
-        ),
+    if serial:
+        w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+        w2 = Window.partitionBy("event_type").orderBy(F.floor("value"))
+        wrun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        running_dec = F.sum(
+            F.round(F.col("value") * F.lit(1000000.0)).cast("decimal(38,0)")
+        ).over(wrun)
+        return ev.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w1).alias("rn"),
+            F.ntile(4).over(w1).alias("quartile"),
+            F.lag("value").over(w1).alias("prev_value"),
+            F.lead("value").over(w1).alias("next_value"),
+            F.rank().over(w2).cast("int").alias("rnk"),
+            F.dense_rank().over(w2).cast("int").alias("drnk"),
+            F.percent_rank().over(w2).alias("pct_rank"),
+            F.cume_dist().over(w2).alias("cdist"),
+            (running_dec.cast("string").cast("double") / F.lit(1000000.0)).alias(
+                "running_value"
+            ),
+        )
+
+    from ..operators.pwindow import ranked_window
+
+    # w2 rank family from the counts table: lt = rows strictly below my
+    # floor bucket (rank-1), row_number over buckets = dense_rank, lt+c =
+    # cumulative inclusive count (cume_dist numerator), N2 = partition size
+    counts = ev.groupBy("event_type", F.floor("value").alias("fk")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("fk")
+    ctab = counts.select(
+        F.col("event_type").alias("r_et"),
+        "fk",
+        F.coalesce(
+            F.sum("c").over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("lt"),
+        F.row_number().over(wc).alias("dr"),
+        F.col("c"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n2"),
+    )
+
+    rw = ranked_window(
+        ev.select("event_id", "event_type", "value"),
+        ["event_type"],
+        ["value", "event_id"],
+        sums={
+            # full-partition prefix of value·1e6: decimal(38,0), exact at
+            # any scale (a long would clip past ~1e11 rows × 1e8 ppm)
+            "run_ppm": F.round(F.col("value") * F.lit(1000000.0)).cast(
+                "decimal(38,0)"
+            )
+        },
+        rn_col="rn_l",
+        total_col="n1",
+        prev_cols={"prev_value": "value"},
+        next_cols={"next_value": "value"},
+        min_parallel_rows=min_parallel_rows,
+    )
+    # ntile(4) closed form: q = N div 4, r = N mod 4; the first r tiles
+    # take q+1 rows each (threshold (q+1)·r), the rest take q
+    nt = F.lit(4)
+    q = F.floor(F.col("n1") / nt).cast("long")
+    r = F.col("n1") % nt
+    thr = (q + F.lit(1)) * r
+    quartile = (
+        F.when(
+            F.col("rn_l") <= thr,
+            F.floor((F.col("rn_l") - 1) / (q + F.lit(1))) + F.lit(1),
+        )
+        .otherwise(r + F.floor((F.col("rn_l") - thr - 1) / q) + F.lit(1))
+        .cast("int")
+    )
+    return (
+        rw.join(
+            F.broadcast(ctab),
+            (F.col("event_type") == F.col("r_et"))
+            & (F.floor("value") == F.col("fk")),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.col("rn_l").cast("int").alias("rn"),
+            quartile.alias("quartile"),
+            "prev_value",
+            "next_value",
+            (F.col("lt") + 1).cast("int").alias("rnk"),
+            F.col("dr").cast("int").alias("drnk"),
+            F.when(F.col("n2") > 1, F.col("lt") / (F.col("n2") - 1))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            ((F.col("lt") + F.col("c")) / F.col("n2")).alias("cdist"),
+            (
+                F.col("run_ppm").cast("string").cast("double") / F.lit(1000000.0)
+            ).alias("running_value"),
+        )
     )
 
 
@@ -442,7 +546,10 @@ GROUP BY event_type
 
 # --- Window frame battery: value frames + boundary navigation ---------------
 def q_window_frames_battery(
-    spark: SparkSession, sf_dir: str, serial: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    serial: bool | None = None,
+    min_parallel_rows: int | None = None,
 ) -> DataFrame:
     """The frame shapes window_battery doesn't cover: first/last/nth_value
     under explicit ROWS frames, a centered ±2-row moving window, and a
@@ -465,10 +572,25 @@ def q_window_frames_battery(
       floor(value)) counts table — a well-distributed aggregation joined
       back on the key (AQE broadcasts the small side at test scale).
 
-    ``serial=True`` keeps the literal WindowExec form — the A/B reference
-    asserted equal in tests."""
+    ``serial`` — None (default) measures the relation once and routes:
+    below the pwindow crossover (MIN_PARALLEL_ROWS; measured serial-wins
+    region, see PERF.md round 7) the literal WindowExec form runs —
+    one pass, no fixed parallel toll; above it the parallel composition
+    runs, reusing that same count as the stencil's stats job (zero extra
+    jobs either way). True/False force a side — the A/B parity test
+    (tests/test_pwindow.py::test_window_frames_battery_serial_parallel_ab)
+    asserts both produce identical rows."""
+    from ..operators import pwindow as pw
+
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     key = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
+    total = None
+    if serial is None:
+        total = ev.count()
+        floor = (
+            pw.MIN_PARALLEL_ROWS if min_parallel_rows is None else min_parallel_rows
+        )
+        serial = total < floor
     if serial:
         w = Window.partitionBy("event_type").orderBy("value", "event_id")
         w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -548,6 +670,8 @@ def q_window_frames_battery(
         },
         -2,
         2,
+        total=total,
+        min_parallel_rows=min_parallel_rows,
     )
     return (
         mov.join(F.broadcast(consts), "event_type")

@@ -1,7 +1,11 @@
-"""Parallel sliding-window operator (operators/pwindow.py): exactness vs
-the serial WindowExec form, strategy/fallback behavior, and the halo
-contract. The frames battery's oracle hash (driver gate) covers the
-integrated use; these pin the operator's own guarantees."""
+"""Parallel window operators (operators/pwindow.py): exactness vs the
+serial WindowExec forms, strategy/fallback behavior, and the halo/carry
+contracts. The frames/window batteries' oracle hashes (driver gate) cover
+the integrated use; these pin the operators' own guarantees.
+
+Direct operator calls pass ``min_parallel_rows=0`` — the production
+default routes relations below the measured crossover to the serial
+window, and the oracle tables are far below it."""
 
 from __future__ import annotations
 
@@ -12,7 +16,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from lakehouse_spain_mobility_spark.plans import inspect as pi
-from lakehouse_spain_mobility_spark.operators.pwindow import sliding_rows_window
+from lakehouse_spain_mobility_spark.operators.pwindow import (
+    ranked_window,
+    sliding_rows_window,
+)
+from lakehouse_spain_mobility_spark.queries.battery import (
+    q_window_battery,
+    q_window_frames_battery,
+)
 from lakehouse_spain_mobility_spark.queries.tables import load
 
 from conftest import SF_DIR_ORACLE
@@ -54,7 +65,10 @@ AGGS = {
 def test_parallel_equals_serial(spark, frame):
     ev = _events(spark)
     lo, hi = frame
-    par = sliding_rows_window(ev, ["event_type"], ["value", "event_id"], AGGS, lo, hi)
+    par = sliding_rows_window(
+        ev, ["event_type"], ["value", "event_id"], AGGS, lo, hi,
+        min_parallel_rows=0,
+    )
     got = sorted(map(tuple, par.select("event_id", "c", "s").collect()))
     want = sorted(map(tuple, _serial(ev, lo, hi).collect()))
     assert got == want and len(got) > 0
@@ -66,7 +80,8 @@ def test_parallel_window_distributes_past_part_domain(spark):
     exchange hashes on (chunk, part)."""
     ev = _events(spark)
     par = sliding_rows_window(
-        ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2, chunks=16
+        ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2,
+        chunks=16, min_parallel_rows=0,
     )
     assert par.rdd.getNumPartitions() == 16
     plan = pi.executed_plan(par)
@@ -74,18 +89,63 @@ def test_parallel_window_distributes_past_part_domain(spark):
 
 
 def test_small_relation_falls_back_serial(spark):
-    ev = _events(spark).limit(40)  # below the n*h*2 floor
+    # a deterministic 40-row subset (an unordered .limit() can differ
+    # between the operator's internal passes), reused for both sides
+    ev = _events(spark).filter(F.col("event_id") % 1500 == 0)
     par = sliding_rows_window(
-        ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2
+        ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2,
+        min_parallel_rows=0,
     )
     got = sorted(map(tuple, par.select("event_id", "c", "s").collect()))
-    want = sorted(
-        map(
-            tuple,
-            _serial(_events(spark).limit(40), -2, 2).collect(),
-        )
+    want = sorted(map(tuple, _serial(ev, -2, 2).collect()))
+    assert got == want and 0 < len(got) < 64
+
+
+def test_small_input_routes_serial_by_default(spark):
+    """The production default (min_parallel_rows unset) must route an
+    oracle-sized relation straight to WindowExec — no chunk machinery in
+    the plan."""
+    ev = _events(spark)
+    par = sliding_rows_window(ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2)
+    assert "_pw_target" not in pi.executed_plan(par)
+
+
+def test_null_order_key_falls_back_serial(spark):
+    """NULL keys break Python split sorting and literal struct comparison
+    NULLS FIRST semantics — the operator must detect and route serial,
+    still producing WindowExec's own (NULLS FIRST) answer."""
+    ev = _events(spark).withColumn(
+        "value", F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("value"))
     )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        par = sliding_rows_window(
+            ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2,
+            min_parallel_rows=0,
+        )
+        assert any("NULL keys" in str(w.message) for w in caught)
+    got = sorted(map(tuple, par.select("event_id", "c", "s").collect()))
+    want = sorted(map(tuple, _serial(ev, -2, 2).collect()))
     assert got == want
+
+
+def test_guard_rejects_undersized_and_gapped_chunkings():
+    """ALL chunks must hold ≥ h keys (an undersized END chunk would put a
+    NULL h-th extreme into the literal border table — the
+    FIELD_NOT_NULLABLE createDataFrame failure; an undersized MIDDLE chunk
+    would need a two-hop halo) and chunk ids must be contiguous."""
+    from pyspark.sql import Row
+
+    from lakehouse_spain_mobility_spark.operators.pwindow import _guard_ok
+
+    mk = lambda *cnts, ids=None: [
+        Row(_pw_chunk=(ids[i] if ids else i), cnt=c) for i, c in enumerate(cnts)
+    ]
+    assert _guard_ok(mk(5, 9, 7), h=5)
+    assert not _guard_ok(mk(5, 9, 3), h=5)  # undersized END chunk
+    assert not _guard_ok(mk(5, 3, 7), h=5)  # undersized middle chunk
+    assert not _guard_ok(mk(5, 9, 7, ids=[0, 1, 3]), h=5)  # gap
+    assert not _guard_ok([], h=1)
 
 
 def test_frame_must_straddle_current_row(spark):
@@ -93,3 +153,90 @@ def test_frame_must_straddle_current_row(spark):
         sliding_rows_window(
             _events(spark), ["event_type"], ["value", "event_id"], AGGS, 1, 2
         )
+
+
+# --- ranked_window (rank/prefix stencil with scalar carry) -------------------
+def _ranked_serial_ref(ev):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        F.sum(F.round(F.col("value") * F.lit(1e6)).cast("decimal(38,0)"))
+        .over(wrun)
+        .alias("run"),
+        F.lag("value").over(w).alias("pv"),
+        F.lead("value").over(w).alias("nv"),
+    )
+
+
+def _ranked_par(ev, **kw):
+    return ranked_window(
+        ev,
+        ["event_type"],
+        ["value", "event_id"],
+        sums={"run": F.round(F.col("value") * F.lit(1e6)).cast("decimal(38,0)")},
+        rn_col="rn",
+        total_col="n",
+        prev_cols={"pv": "value"},
+        next_cols={"nv": "value"},
+        **kw,
+    ).select("event_id", "rn", "n", "run", "pv", "nv")
+
+
+def test_ranked_window_equals_serial(spark):
+    ev = _events(spark)
+    got = sorted(map(tuple, _ranked_par(ev, min_parallel_rows=0).collect()))
+    want = sorted(map(tuple, _ranked_serial_ref(ev).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ranked_window_distribution_contract(spark):
+    """The carry decomposition's point: the final sort/window stage runs on
+    the CHUNK count, not the ~5-value partition domain."""
+    ev = _events(spark)
+    par = _ranked_par(ev, min_parallel_rows=0, chunks=16)
+    assert par.rdd.getNumPartitions() == 16
+    assert "_pw_chunk" in pi.executed_plan(par)
+
+
+def test_ranked_window_small_input_routes_serial(spark):
+    ev = _events(spark)
+    par = _ranked_par(ev)  # production floor — oracle SF is far below it
+    assert "_pw_chunk" not in pi.executed_plan(par)
+    got = sorted(map(tuple, par.collect()))
+    want = sorted(map(tuple, _ranked_serial_ref(ev).collect()))
+    assert got == want
+
+
+def test_ranked_window_null_key_falls_back_serial(spark):
+    ev = _events(spark).withColumn(
+        "value", F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("value"))
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        par = _ranked_par(ev, min_parallel_rows=0)
+        assert any("NULL keys" in str(w.message) for w in caught)
+    got = sorted(map(tuple, par.collect()))
+    want = sorted(map(tuple, _ranked_serial_ref(ev).collect()))
+    assert got == want
+
+
+# --- battery-level serial/parallel A/B ---------------------------------------
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_window_frames_battery_serial_parallel_ab(spark):
+    par = q_window_frames_battery(spark, SF_DIR_ORACLE, serial=False, min_parallel_rows=0)
+    ser = q_window_frames_battery(spark, SF_DIR_ORACLE, serial=True)
+    assert par.columns == ser.columns
+    assert _rows(par) == _rows(ser)
+
+
+def test_window_battery_serial_parallel_ab(spark):
+    par = q_window_battery(spark, SF_DIR_ORACLE, serial=False, min_parallel_rows=0)
+    ser = q_window_battery(spark, SF_DIR_ORACLE, serial=True)
+    assert par.columns == ser.columns
+    assert _rows(par) == _rows(ser)
