@@ -545,6 +545,13 @@ GROUP BY event_type
 
 
 # --- Window frame battery: value frames + boundary navigation ---------------
+# Serial-vs-parallel crossover for THIS battery (PERF.md round 7, local[32]
+# compute-forced): serial wins to ~3M rows (sf3: 6.0 s vs 9.1 s), parallel
+# wins at 10M (15.2 s vs 20.3 s) — higher than pwindow's generic 2M default
+# because the parallel composition adds the consts min-chain + RANGE rollup.
+_FRAMES_MIN_PARALLEL = 6_000_000
+
+
 def q_window_frames_battery(
     spark: SparkSession,
     sf_dir: str,
@@ -573,22 +580,23 @@ def q_window_frames_battery(
       back on the key (AQE broadcasts the small side at test scale).
 
     ``serial`` — None (default) measures the relation once and routes:
-    below the pwindow crossover (MIN_PARALLEL_ROWS; measured serial-wins
-    region, see PERF.md round 7) the literal WindowExec form runs —
-    one pass, no fixed parallel toll; above it the parallel composition
-    runs, reusing that same count as the stencil's stats job (zero extra
-    jobs either way). True/False force a side — the A/B parity test
+    below the measured crossover (_FRAMES_MIN_PARALLEL; serial-wins region
+    per PERF.md round 7 — the frames battery's crossover sits higher than
+    the generic pwindow default because its parallel composition also pays
+    the consts min-chain and the RANGE rollup) the literal WindowExec form
+    runs — one pass, no fixed parallel toll; above it the parallel
+    composition runs, reusing that same count as the stencil's stats job
+    (zero extra jobs either way). True/False force a side — the A/B parity
+    test
     (tests/test_pwindow.py::test_window_frames_battery_serial_parallel_ab)
     asserts both produce identical rows."""
-    from ..operators import pwindow as pw
-
     ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     key = F.struct(F.col("value").alias("v"), F.col("event_id").alias("e"))
     total = None
     if serial is None:
         total = ev.count()
         floor = (
-            pw.MIN_PARALLEL_ROWS if min_parallel_rows is None else min_parallel_rows
+            _FRAMES_MIN_PARALLEL if min_parallel_rows is None else min_parallel_rows
         )
         serial = total < floor
     if serial:
