@@ -50,6 +50,9 @@ QUERIES = [
     # round-6: replica-free decade curve for the candidate-bounded plan
     # + the native-SQL dissolve alongside the kernel form
     "bitext_margin_lsh_dedup", "spatial_dissolve_native",
+    # round-7: rank-family battery now chunk-parallel (ranked_window) —
+    # scale-measured from the rewrite on
+    "window_battery",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
