@@ -240,3 +240,37 @@ def test_window_battery_serial_parallel_ab(spark):
     ser = q_window_battery(spark, SF_DIR_ORACLE, serial=True)
     assert par.columns == ser.columns
     assert _rows(par) == _rows(ser)
+
+
+# --- adversarial relations through the carry stencil --------------------------
+def _adversarial_cases():
+    # (name, rows of (part, value, id)) — each shape attacks one carry
+    # assumption: single-part (every chunk shares the partition), 90% skew
+    # (one carry row dominates), tied ORDER values with a unique tiebreaker
+    # (prefix/lag must follow the id), negative/extreme sums (decimal carry
+    # signs), and a part count near the chunk count (borders everywhere)
+    one = [("a", float(i % 7), i) for i in range(200)]
+    skew = [("hot" if i % 10 else f"cold{i%3}", float(i % 13) - 6.0, i) for i in range(300)]
+    ties = [("a" if i < 150 else "b", float(i % 3), i) for i in range(300)]
+    ext = [("p", (-1) ** i * 1e6 * ((i % 11) + 1), i) for i in range(250)]
+    many = [(f"p{i % 5}", float(i), i) for i in range(200)]
+    return [("one_part", one), ("skew90", skew), ("order_ties", ties),
+            ("extreme_sums", ext), ("parts_near_chunks", many)]
+
+
+@pytest.mark.parametrize("case", _adversarial_cases(), ids=lambda c: c[0])
+def test_ranked_window_adversarial_shapes(spark, case):
+    _, rows = case
+    df = spark.createDataFrame(rows, "part string, value double, id long")
+    kw = dict(
+        part_cols=["part"], order_cols=["value", "id"],
+        sums={"run": F.round(F.col("value") * F.lit(1e3)).cast("decimal(38,0)")},
+        rn_col="rn", total_col="n",
+        prev_cols={"pv": "value"}, next_cols={"nv": "value"},
+    )
+    par = ranked_window(df, chunks=4, min_parallel_rows=0, **kw)
+    ser = ranked_window(df, min_parallel_rows=2**62, **kw)  # forced serial
+    cols = ["id", "rn", "n", "run", "pv", "nv"]
+    got = sorted(map(tuple, par.select(*cols).collect()))
+    want = sorted(map(tuple, ser.select(*cols).collect()))
+    assert got == want and len(got) == len(rows)
