@@ -85,14 +85,26 @@ def main() -> None:
     sink = set(filter(None, os.environ.get("DECADE_SINK", "").split(",")))
     if "all" in sink:
         sink = {s.name for s in specs}
+    # DECADE_ARROW: names (or 'all') additionally timed through the
+    # Arrow-native driver transfer — Spark df.toArrow() vs DuckDB
+    # fetch_arrow_table(), both yielding a pyarrow.Table. The default
+    # collect protocol pairs Spark's JVM→pickle→Row path against DuckDB's
+    # C-level fetchall; for full-relation outputs that prices the row
+    # codec, not the plan (PERF.md round 7) — the Arrow pair is the
+    # transfer-parity measurement for those rows.
+    arrow = set(filter(None, os.environ.get("DECADE_ARROW", "").split(",")))
+    if "all" in arrow:
+        arrow = {s.name for s in specs}
     import shutil
     import tempfile
 
     tmp = tempfile.mkdtemp(prefix="decade_sink_")
     spark_t: dict[str, float] = {}
     spark_sink_t: dict[str, float] = {}
+    spark_arrow_t: dict[str, float] = {}
     duck_t: dict[str, float] = {}
     duck_sink_t: dict[str, float] = {}
+    duck_arrow_t: dict[str, float] = {}
     duck_note: dict[str, str] = {}
     bucket_etl: float | None = None
     # try/finally: a failed query or sink write must not leak the sink dir
@@ -125,6 +137,14 @@ def main() -> None:
                 )
                 spark_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
                 print(f"# spark-sink {spec.name}: {spark_sink_t[spec.name]:.3f}s", file=sys.stderr)
+            if spec.name in arrow:
+                t0 = time.perf_counter()
+                n = spec.build(spark, sf_dir).toArrow().num_rows
+                spark_arrow_t[spec.name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# spark-arrow {spec.name}: {spark_arrow_t[spec.name]:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
         spark.stop()
 
         con = duckdb.connect()
@@ -160,6 +180,14 @@ def main() -> None:
                 )
                 duck_sink_t[spec.name] = round(time.perf_counter() - t0, 3)
                 print(f"# duckdb-sink {spec.name}: {duck_sink_t[spec.name]:.3f}s", file=sys.stderr)
+            if spec.name in arrow and spec.name not in duck_skip:
+                t0 = time.perf_counter()
+                n = con.execute(spec.oracle).fetch_arrow_table().num_rows
+                duck_arrow_t[spec.name] = round(time.perf_counter() - t0, 3)
+                print(
+                    f"# duckdb-arrow {spec.name}: {duck_arrow_t[spec.name]:.3f}s ({n} rows)",
+                    file=sys.stderr,
+                )
         con.close()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -187,6 +215,11 @@ def main() -> None:
             row["duckdb_sink"] = duck_sink_t[q]
             if duck_sink_t[q] > 0:
                 row["ratio_sink"] = round(spark_sink_t[q] / duck_sink_t[q], 3)
+        if q in spark_arrow_t and q in duck_arrow_t:
+            row["spark_arrow"] = spark_arrow_t[q]
+            row["duckdb_arrow"] = duck_arrow_t[q]
+            if duck_arrow_t[q] > 0:
+                row["ratio_arrow"] = round(spark_arrow_t[q] / duck_arrow_t[q], 3)
         out[q] = row
     payload = {"label": label, "sf_dir": sf_dir, "queries": out}
     if bucket_etl is not None:
