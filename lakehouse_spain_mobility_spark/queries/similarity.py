@@ -774,7 +774,22 @@ def _bitext_margin_lsh(
         1,
         _BT_K,
     )
-    topk = doubled.groupBy("side", "key").agg(arr.alias("a"))
+    # Group by key ALONE, with side as a max() AGGREGATE, not a group key.
+    # ids are globally unique (vec_id), so src and tgt key spaces are
+    # disjoint and side is constant per key — grouping by (side, key) was
+    # redundant, and leaky: a filter on a GROUP KEY pushes through the
+    # aggregate (PushPredicateThroughNonJoin), so the side='s' / side='t'
+    # branches forked below the final agg and the segment between the last
+    # shared exchange and that agg (the join merge, the 64-term cosine
+    # projection, the doubled-row Generate, the partial collect agg)
+    # executed once PER BRANCH — AQE's runtime exchange reuse already
+    # shared everything below those exchanges, so the fork cost the
+    # segment, not the pipeline (measured sf10: 107.8 → ~95 s non-dedup,
+    # ~4.9 → ~4.8 s dedup). A filter on an AGGREGATE OUTPUT cannot push
+    # through, so both branches now share one subtree up to the final
+    # exchange, which the executed plan carries as a ReusedExchange
+    # (plan-asserted: tests/test_plans.py::test_bitext_single_scoring_pass).
+    topk = doubled.groupBy("key").agg(F.max("side").alias("side"), arr.alias("a"))
     per_src = topk.filter(F.col("side") == "s").select(
         F.col("key").alias("src_id"),
         F.expr("aggregate(a, 0L, (acc, x) -> acc - x.nc)").alias("sum_s"),

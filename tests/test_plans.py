@@ -476,3 +476,19 @@ def test_bitext_margin_lsh_dedup_same_plan_shape(spark):
     enumeration anywhere."""
     df = REG["bitext_margin_lsh_dedup"].build(spark, SF_DIR_ORACLE)
     assert pi.count_nested_loop_joins(df) == 0
+
+
+def test_bitext_single_scoring_pass(spark):
+    """The per-src / per-tgt neighborhood views split on an AGGREGATE
+    OUTPUT (max(side)), never a group key: a group-key filter would push
+    through the final aggregation and fork the scoring segment (join
+    merge + cosine projection + doubled-row Generate + partial agg) into
+    per-branch executions. The executed plan must carry the shared
+    scoring subtree as a ReusedExchange under one of the two branches."""
+    df = REG["bitext_margin_lsh"].build(spark, SF_DIR_ORACLE)
+    plan = pi.final_plan(df)
+    assert "ReusedExchange" in plan, plan[:3000]
+    # and the split filters sit on the agg output, not pushed below it:
+    # the optimized plan keeps exactly one Aggregate producing max(side)
+    opt = pi.optimized_plan(df)
+    assert opt.count("max(side") >= 2  # partial+final of ONE aggregation
