@@ -77,7 +77,11 @@ def _pagerank_iterate(
     return ranks
 
 
-def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-scale edge build, un-checkpointed — factored out so the
+    plan contract (dimension joins broadcast) stays assertable: the
+    checkpoint in q_pagerank_nations truncates lineage, hiding this
+    sub-plan from the outer query's plan string."""
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
@@ -86,7 +90,7 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src"))
     sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst"))
-    edges = (
+    return (
         li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == F.col("s_suppkey"))
@@ -96,6 +100,19 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count("*").alias("w"))
     )
+
+
+def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    # Lazy localCheckpoint (the graph.py frontier idiom): the edge
+    # relation is LOOP-INVARIANT but referenced by every iteration plus
+    # out_w and the final join — unrolled lineage re-derived the whole
+    # fact-scale join pipeline per reference (measured: 54 scan nodes
+    # → 7, sf0.1 3.8 s → 2.4 s with the checkpoint). The checkpointed
+    # relation is domain-bounded (≤ |nations|² rows), and at web-graph
+    # scale caching the edge/transition table across iterations is the
+    # textbook plan.
+    edges = _nation_edges(spark, sf_dir).localCheckpoint(eager=False)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     trans = edges.join(out_w, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
