@@ -37,6 +37,12 @@ def main() -> None:
             df = spec.build(spark, sf_dir)
             df.collect()  # finalize the AQE plan for THIS DataFrame
             plan = df._jdf.queryExecution().executedPlan().toString()
+            # AdaptiveSparkPlan.toString appends an "== Initial Plan =="
+            # section that re-prints every node — counting the whole
+            # string doubles every number (and the initial section shows
+            # pre-reuse duplication that never executes). Count the final
+            # tree only.
+            plan = plan.split("== Initial Plan ==")[0]
             rows.append(
                 (
                     name,
