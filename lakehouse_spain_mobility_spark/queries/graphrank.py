@@ -107,8 +107,8 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Lazy localCheckpoint (the graph.py frontier idiom): the edge
     # relation is LOOP-INVARIANT but referenced by every iteration plus
     # out_w and the final join — unrolled lineage re-derived the whole
-    # fact-scale join pipeline per reference (measured: 54 scan nodes
-    # → 7, sf0.1 3.8 s → 2.4 s with the checkpoint). The checkpointed
+    # fact-scale join pipeline per reference (measured: 27 final-tree
+    # scan nodes → 3, sf0.1 3.8 s → 2.4 s with the checkpoint). The checkpointed
     # relation is domain-bounded (≤ |nations|² rows), and at web-graph
     # scale caching the edge/transition table across iterations is the
     # textbook plan.
