@@ -110,7 +110,11 @@ def main() -> None:
     # try/finally: a failed query or sink write must not leak the sink dir
     # (it can hold full query outputs at decade scale).
     try:
-        spark = build_session(app_name="decade-bench")
+        # An intentional full-relation Arrow fetch needs the result-size
+        # guard raised: the 1g maxResultSize default rejects a 30M-row
+        # transfer (measured at sf30 — PERF.md round 7b).
+        extra = {"spark.driver.maxResultSize": "8g"} if arrow else {}
+        spark = build_session(app_name="decade-bench", extra_conf=extra)
         spark.range(1000).selectExpr("sum(id)").collect()
         if any(s.name in BUCKETED_FAMILY for s in specs):
             # The one-time bucketed-layout write (ps_lineitem) is timed
