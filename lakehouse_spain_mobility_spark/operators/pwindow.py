@@ -80,6 +80,7 @@ from pyspark.sql.types import DataType, DecimalType, LongType, StructField, Stru
 _CHUNK = "_pw_chunk"
 _TGT = "_pw_target"
 _HALO = "_pw_halo"
+_SLOT = "_pw_slot"
 _SAMPLES_PER_CHUNK = 24
 _SEED = 0x5EED
 # Serial-vs-parallel crossover (total rows). Below this the parallel
@@ -92,6 +93,49 @@ MIN_PARALLEL_ROWS = 2_000_000
 # this cap means a partition domain so wide that WindowExec parallelizes
 # fine on its own — serial is then the right plan anyway.
 _GROUP_CAP = 4096
+
+
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (x86 32-bit, seed 42 —
+    the partitioner behind ``repartition(n, col)``), signed. Public
+    algorithm (Appleby's MurmurHash3 / Spark Murmur3_x86_32.hashInt);
+    pinned against F.hash in test_pwindow.py::test_murmur3_matches_spark."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    k = ((x & 0xFFFFFFFF) * c1) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    k = (k * c2) & 0xFFFFFFFF
+    h = (seed ^ k) & 0xFFFFFFFF
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _slot_map(m: int) -> list[int]:
+    """``repartition(m, col)`` assigns partition ``pmod(murmur3(col), m)``;
+    dense chunk ids collide (balls-in-bins leaves ~1/e of the partitions
+    empty and piles 2-3 chunks on others — measured at sf30 as the battery
+    stencil's fat-tail partition, PERF.md round 8). Invert the hash on the
+    driver instead: slot[c] = the smallest int whose hash lands in
+    partition c, so each chunk sits ALONE in its own partition and the
+    final-stage balance is the chunk balance (even by construction)."""
+    slots: dict[int, int] = {}
+    for x in range(max(4096, 64 * m)):  # coupon-collector needs ~m·ln m
+        slots.setdefault(_murmur3_int(x) % m, x)
+        if len(slots) == m:
+            return [slots[c] for c in range(m)]
+    raise AssertionError(f"slot inversion did not cover {m} residues")
+
+
+def _slot_col(base: Column, m: int, offset: int = 0) -> Column:
+    """Chunk id (``base``, ids offset..offset+m−1) → its repartition slot,
+    as a literal-array lookup (codegen-friendly, 1-indexed element_at)."""
+    return F.element_at(F.lit(_slot_map(m)), (base - F.lit(offset)).cast("int") + F.lit(1)).cast("int")
 
 
 def _serial(df, part_cols, order_cols, aggs, lo, hi, out_cols):
@@ -306,9 +350,22 @@ def sliding_rows_window(
         .select(*out_cols, F.col("_e.t").alias(_TGT), F.col("_e.h").alias(_HALO))
     )
     # explicit-count exchange: AQE must not coalesce the compute-heavy
-    # sort stage toward its 64 MB advisory target (trap #27)
-    aug = aug.repartition(n, F.col(_TGT), *[F.col(c) for c in part_cols])
-    w = Window.partitionBy(_TGT, *part_cols).orderBy(*order_cols).rowsBetween(lo, hi)
+    # sort stage toward its 64 MB advisory target (trap #27). Partitioned
+    # by the chunk's inverted-hash SLOT, not hash(_TGT, part): hashing m
+    # chunk ids into m bins leaves ~1/e of them empty and stacks 2-3
+    # chunks on others — the stacked bin is the stage's tail. The slot
+    # puts exactly one chunk per partition; it leads the window
+    # partitionBy so HashPartitioning(_SLOT) satisfies the window's
+    # clustering (slot is a pure function of _TGT — no semantic change).
+    m = max_chunk - min_chunk + 1
+    aug = aug.withColumn(_SLOT, _slot_col(F.col(_TGT), m, min_chunk)).repartition(
+        m, F.col(_SLOT)
+    )
+    w = (
+        Window.partitionBy(_SLOT, _TGT, *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(lo, hi)
+    )
     return (
         aug.select(*out_cols, _HALO, *[fn(w).alias(a) for a, fn in aggs.items()])
         .filter(~F.col(_HALO))
@@ -486,12 +543,20 @@ def ranked_window(
     )
     carry = spark.createDataFrame(carry_rows, carry_schema)
 
+    # One chunk per partition via the inverted-hash slot (not hash(_CHUNK):
+    # m ids into m bins leaves ~1/e empty and stacks others — measured at
+    # sf30 as this stencil's fat-tail partition; the stacked partition also
+    # serializes last in a driver transfer). Slot leads the window
+    # partitionBy so the exchange satisfies its clustering; slot is a pure
+    # function of the chunk id, so values are unchanged.
+    m = len(splits) + 1
     joined = (
         tagged.withColumn(_OKEY, okey)
         .join(F.broadcast(carry), [_CHUNK, *part_cols])
-        .repartition(n, F.col(_CHUNK))
+        .withColumn(_SLOT, _slot_col(F.col(_CHUNK), m))
+        .repartition(m, F.col(_SLOT))
     )
-    wloc = Window.partitionBy(_CHUNK, *part_cols).orderBy(*order_cols)
+    wloc = Window.partitionBy(_SLOT, _CHUNK, *part_cols).orderBy(*order_cols)
     wrun = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sel = [
         *df.columns,

@@ -73,3 +73,19 @@ def final_plan(df: DataFrame) -> str:
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """Codegen stages render as ``*(n)`` markers in the final plan."""
     return "*(" in final_plan(df)
+
+
+def audit_counts(df: DataFrame) -> tuple[int, int, int]:
+    """(parquet scans, in-memory/local scans, ReusedExchange nodes) in the
+    FINAL executed tree of an already-executed DataFrame — the redundant-
+    execution detector behind scripts/plan_audit.py. High scans with low
+    reuse flags a re-derived subtree (the round-7 pagerank defect shape);
+    the AdaptiveSparkPlan "Initial Plan" section is cut (it re-prints every
+    node and shows pre-reuse duplication that never executes). Caller must
+    have executed THIS DataFrame (collect), else the plan is still initial."""
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    return (
+        len(re.findall(r"Scan parquet", plan)),
+        len(re.findall(r"Scan ExistingRDD|LocalTableScan", plan)),
+        len(re.findall(r"ReusedExchange", plan)),
+    )

@@ -111,7 +111,13 @@ def q_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan nodes → 3, sf0.1 3.8 s → 2.4 s with the checkpoint). The checkpointed
     # relation is domain-bounded (≤ |nations|² rows), and at web-graph
     # scale caching the edge/transition table across iterations is the
-    # textbook plan.
+    # textbook plan. Cluster caveat (ADVICE r7): localCheckpoint stores
+    # blocks executor-locally with TRUNCATED lineage — an executor loss or
+    # dynamic-allocation decommission makes the job unrecoverable. On a
+    # real cluster prefer persist(DISK_AND_MEMORY)+count (recoverable
+    # lineage) or a reliable checkpoint dir; local mode has no executor to
+    # lose, and the truncated lineage is what kills the per-iteration
+    # re-derivation.
     edges = _nation_edges(spark, sf_dir).localCheckpoint(eager=False)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     trans = edges.join(out_w, "src").select(

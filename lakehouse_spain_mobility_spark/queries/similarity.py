@@ -776,7 +776,10 @@ def _bitext_margin_lsh(
     )
     # Group by key ALONE, with side as a max() AGGREGATE, not a group key.
     # ids are globally unique (vec_id), so src and tgt key spaces are
-    # disjoint and side is constant per key — grouping by (side, key) was
+    # disjoint and side is constant per key — the invariant is pinned by
+    # tests/test_curation.py::test_embeddings_vec_id_globally_unique and
+    # preserved at decade scale by make_sf1.py's key-offset replication.
+    # Grouping by (side, key) was
     # redundant, and leaky: a filter on a GROUP KEY pushes through the
     # aggregate (PushPredicateThroughNonJoin), so the side='s' / side='t'
     # branches forked below the final agg and the segment between the last

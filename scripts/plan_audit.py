@@ -18,11 +18,11 @@ Usage: python scripts/plan_audit.py [sf_dir] [top_n]
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from lakehouse_spain_mobility_spark.plans.inspect import audit_counts
 from lakehouse_spain_mobility_spark.queries import load_all
 from lakehouse_spain_mobility_spark.session import build_session
 
@@ -36,21 +36,7 @@ def main() -> None:
         try:
             df = spec.build(spark, sf_dir)
             df.collect()  # finalize the AQE plan for THIS DataFrame
-            plan = df._jdf.queryExecution().executedPlan().toString()
-            # AdaptiveSparkPlan.toString appends an "== Initial Plan =="
-            # section that re-prints every node — counting the whole
-            # string doubles every number (and the initial section shows
-            # pre-reuse duplication that never executes). Count the final
-            # tree only.
-            plan = plan.split("== Initial Plan ==")[0]
-            rows.append(
-                (
-                    name,
-                    len(re.findall(r"Scan parquet", plan)),
-                    len(re.findall(r"Scan ExistingRDD|LocalTableScan", plan)),
-                    len(re.findall(r"ReusedExchange", plan)),
-                )
-            )
+            rows.append((name, *audit_counts(df)))
         except Exception as ex:  # noqa: BLE001 — audit must survive one bad query
             rows.append((name, -1, -1, f"{type(ex).__name__}: {ex}"[:80]))
     rows.sort(key=lambda r: -(r[1] if isinstance(r[1], int) else 0))

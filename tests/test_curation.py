@@ -6,6 +6,8 @@ change semantics."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from lakehouse_spain_mobility_spark.queries import load_all
 
 from conftest import SF_DIR_ORACLE
@@ -270,6 +272,22 @@ def test_repetition_quality_empty_and_single_word_docs(spark):
     )
     for k in ("n_docs", "n_flagged", "avg_dup_bigram_frac_ppm", "avg_top_bigram_share_ppm"):
         assert r[k] == want[k], (k, r, want)
+
+
+def test_embeddings_vec_id_globally_unique(spark):
+    """The bitext scoring pass groups neighborhoods by vec_id ALONE (the
+    side split is a max() aggregate output, queries/similarity.py) — only
+    correct because vec_id is globally unique ACROSS labels, so src/tgt
+    key spaces are disjoint. Pin that data invariant here (ADVICE r7): a
+    per-label id space would silently merge neighborhoods and corrupt
+    margins. scripts/make_sf1.py preserves it by key-offset replication."""
+    from lakehouse_spain_mobility_spark.queries.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    r = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("vec_id").alias("d")
+    ).first()
+    assert r["n"] == r["d"] > 0, (r["n"], r["d"])
 
 
 def test_bitext_margin_lsh_candidates_sound_and_margin_dominant(spark):

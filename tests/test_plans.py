@@ -492,8 +492,10 @@ def test_bitext_single_scoring_pass(spark):
     scoring subtree as a ReusedExchange under one of the two branches."""
     df = REG["bitext_margin_lsh"].build(spark, SF_DIR_ORACLE)
     plan = pi.final_plan(df)
+    # The ReusedExchange/reused-stage node is the single-execution proof:
+    # a group-key-filter regression forks the scoring segment into two
+    # INDEPENDENT pipelines with nothing shared, so no reuse node appears.
+    # (String-counting the aggregate can NOT distinguish the shapes — both
+    # the optimized-logical and the AQE final tree re-print a reused
+    # stage's subtree once per consuming branch — ADVICE r7.)
     assert "ReusedExchange" in plan, plan[:3000]
-    # and the split filters sit on the agg output, not pushed below it:
-    # the optimized plan keeps exactly one Aggregate producing max(side)
-    opt = pi.optimized_plan(df)
-    assert opt.count("max(side") >= 2  # partial+final of ONE aggregation

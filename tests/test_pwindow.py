@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from lakehouse_spain_mobility_spark.plans import inspect as pi
 from lakehouse_spain_mobility_spark.operators.pwindow import (
+    _murmur3_int,
+    _slot_map,
     ranked_window,
     sliding_rows_window,
 )
@@ -194,11 +196,43 @@ def test_ranked_window_equals_serial(spark):
 
 def test_ranked_window_distribution_contract(spark):
     """The carry decomposition's point: the final sort/window stage runs on
-    the CHUNK count, not the ~5-value partition domain."""
+    the CHUNK count, not the ~5-value partition domain — and since round 8,
+    exactly ONE chunk per partition (inverted-hash slot): hashing chunk ids
+    left ~1/e of the partitions empty and stacked others into a fat tail."""
     ev = _events(spark)
     par = _ranked_par(ev, min_parallel_rows=0, chunks=16)
     assert par.rdd.getNumPartitions() == 16
     assert "_pw_chunk" in pi.executed_plan(par)
+    sizes = par.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert min(sizes) > 0, f"empty partition — slot mapping broken: {sizes}"
+    # even chunks (range split): no partition should dominate
+    assert max(sizes) < 2 * (sum(sizes) / len(sizes)), sizes
+
+
+def test_murmur3_matches_spark(spark):
+    """The slot inversion reimplements Spark's Murmur3Hash(int, seed 42) on
+    the driver; a drift would silently cost balance (never correctness).
+    Pin it against F.hash over a sign-covering range."""
+    rows = (
+        spark.range(-3, 4000)
+        .select(F.col("id").cast("int").alias("x"), F.hash(F.col("id").cast("int")).alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert _murmur3_int(r["x"]) == r["h"], r["x"]
+    # and the derived map is a true inverse: slot s at index c hashes to c
+    for m in (1, 2, 5, 16, 32, 100):
+        assert [_murmur3_int(s) % m for s in _slot_map(m)] == list(range(m))
+
+
+def test_sliding_window_no_empty_partitions(spark):
+    ev = _events(spark)
+    par = sliding_rows_window(
+        ev, ["event_type"], ["value", "event_id"], AGGS, -2, 2,
+        chunks=16, min_parallel_rows=0,
+    )
+    sizes = par.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert len(sizes) == 16 and min(sizes) > 0, sizes
 
 
 def test_ranked_window_small_input_routes_serial(spark):
