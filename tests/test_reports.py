@@ -88,6 +88,85 @@ def test_district_report_artifact_store_roundtrip(wh, tmp_path):
     assert calls == [(arts["pdf"], "my-bucket", "reports/k/report.pdf")]
 
 
+# The reference report query, VERBATIM shape
+# (dags/bussiness_layer/generate_report.py:111-129): disjunctive
+# census-section-OR-district join, district IN-scope, per-(day_type, hour)
+# rollup. Run by DuckDB over the SAME fixture gold tables the pipeline
+# reads — the content-parity oracle for K9 (VERDICT r7 #7).
+_REF_REPORT_SQL = """
+    SELECT
+        g.day_type,
+        g.hour_period,
+        SUM(g.total_trips) AS total_trips,
+        AVG(g.total_trips) AS avg_trips,
+        STDDEV_SAMP(g.total_trips) AS std_trips,
+        AVG(g.num_days_observed) AS num_days_observed
+    FROM g_tbl g
+    JOIN geo_tbl geo
+      ON (geo.census_section_id = g.origin_zone
+          OR geo.district_id = g.origin_zone)
+    WHERE geo.district_id IN (?)
+    GROUP BY g.day_type, g.hour_period
+    ORDER BY g.day_type, g.hour_period
+"""
+
+
+def test_report_content_matches_reference_query(wh, tmp_path):
+    """Same data → same table values (VERDICT r7 #7): the CSV the pipeline
+    writes must equal, value for value, what the reference's own SQL
+    (dags/bussiness_layer/generate_report.py:111-129) computes over the
+    same gold tables; the PDF/markdown must carry the reference figure's
+    per-day_type sections (dags/mitma/generate_report.py:107-160: one
+    section per unique day_type, two series — total and average — plus
+    peak-hour/total-volume stats) with matching values and day names."""
+    import duckdb
+    import pandas as pd
+
+    district = fx.MUNI_CODES[0] + "01"
+    arts = reports.generate_district_report(wh, district, str(tmp_path))
+
+    con = duckdb.connect()
+    con.register("g_tbl", wh.read("gold_typical_day_patterns").toPandas())
+    con.register("geo_tbl", wh.read("gold_geometry_wgs84").toPandas())
+    want = con.execute(_REF_REPORT_SQL, [district]).fetch_df()
+    con.close()
+    assert not want.empty, "reference query empty — fixture mismatch"
+
+    got = pd.read_csv(arts["csv"]).sort_values(["day_type", "hour_period"])
+    assert len(got) == len(want)
+    for ours, ref in (
+        ("day_type", "day_type"),
+        ("hour_period", "hour_period"),
+        ("total_trips", "total_trips"),
+        ("avg_trips", "avg_trips"),
+        ("std_trips", "std_trips"),
+        ("avg_days_observed", "num_days_observed"),
+    ):
+        assert got[ours].astype(float).values == pytest.approx(
+            want[ref].astype(float).values, rel=1e-9, abs=1e-9
+        ), ours
+
+    # figure parity: one section per unique day_type, reference day names
+    # (get_day_type_name, dags/mitma/generate_report.py:10-15), and the
+    # reference's text stats (peak hour via idxmax, daily total via sum)
+    ref_names = {0: "Sunday", 1: "Monday", 2: "Tue-Thu", 5: "Friday", 6: "Saturday", 8: "Holiday"}
+    md = open(arts["markdown"], encoding="utf-8").read()
+    pdf_bytes = open(arts["pdf"], "rb").read()
+    day_rows = [l for l in md.splitlines() if l.startswith("|") and "day type" not in l and "---" not in l]
+    assert len(day_rows) == want["day_type"].nunique()
+    for dt, day_data in want.groupby("day_type"):
+        label = ref_names[int(dt)]
+        row = [l for l in day_rows if f"| {label} |" in l]
+        assert len(row) == 1, (label, day_rows)
+        peak = day_data.loc[day_data["total_trips"].idxmax()]
+        assert f"{int(peak['hour_period']):02d}:00" in row[0]
+        assert f"{peak['total_trips']:.1f}" in row[0]
+        assert f"{day_data['total_trips'].sum():.1f}" in row[0]
+        assert label.encode() in pdf_bytes  # each section renders in the PDF
+    # both series of the reference's two panels are present per hour row
+    assert {"total_trips", "avg_trips"} <= set(got.columns)
+
+
 def test_district_report_optional_year_probe(wh, tmp_path):
     district = fx.MUNI_CODES[0] + "01"
     frame_with_year = reports.district_report_frame(wh, district, year=fx.YEAR)
