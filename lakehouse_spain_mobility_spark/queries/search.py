@@ -37,52 +37,95 @@ _B = 0.75
 _TOP_K = 20
 
 
-def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_doc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE tokenize pass + ONE doc-grain shuffle: per-doc token count (dl)
+    and per-query-term tf via conditional aggregation. _TERMS is a fixed
+    literal list, so the (doc, term) grain is a pivot of |terms| columns,
+    not a join — the round-7 shape tokenized the corpus once per consumer
+    (dl / tf / df derived from separate explode subtrees sharing only the
+    scan: three full tokenizations, measured as the bulk of bm25's 3.0 s
+    standalone floor at sf10; rrf_fusion added a fourth)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), davg(F.col("dl").cast("double")).alias("avgdl")
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(_TERMS)
+        ],
     )
-    qtoks = toks.filter(F.col("term").isin(*_TERMS))
-    tf = qtoks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = qtoks.select("doc_id", "term").distinct().groupBy("term").agg(
-        F.count("*").alias("df")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _bm25_doc_table(spark, sf_dir)
+    # n_docs / avgdl / per-term df in ONE scalar row (the reference's
+    # scalar-k pattern): df_t = docs where the term appears, identical to
+    # the (doc, term)-distinct aggregate of the row form.
+    stats = doc.agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_TERMS))
+        ],
     )
+
     # idf quantized to 6 decimals on both engines before entering the score:
     # ln() is the one non-IEEE-exact op in the pipeline, and double-rounding
     # through a fixed grid removes the cross-libm last-ulp exposure.
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.round(
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-                )
-                * F.lit(1e6)
+    def _idf(i: int):
+        return F.round(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+                / (F.col(f"df_{i}") + F.lit(0.5))
             )
-            / F.lit(1e6),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * F.col("tf").cast("double")
+            * F.lit(1e6)
+        ) / F.lit(1e6)
+
+    def _contrib(i: int):
+        tf = F.col(f"tf_{i}").cast("double")
+        return (
+            _idf(i)
+            * tf
             / (
-                F.col("tf").cast("double")
+                tf
                 + F.lit(_K1)
-                * (F.lit(1.0) - F.lit(_B) + F.lit(_B) * F.col("dl").cast("double") / F.col("avgdl"))
-            ),
+                * (
+                    F.lit(1.0)
+                    - F.lit(_B)
+                    + F.lit(_B) * F.col("dl").cast("double") / F.col("avgdl")
+                )
+            )
         )
-    )
-    doc_scores = scored.groupBy("doc_id").agg(
-        micro(dsum(F.col("contrib"))).alias("score_ppm"),
-        F.count("*").alias("n_terms_matched"),
+
+    # score = Σ_t ROUND(contrib_t·1e6) over MATCHED terms — exactly the
+    # row form's micro(dsum(contrib)) (dsum rounds each row to integer
+    # micro-units and sums exactly, so the sum is order- and shape-free).
+    matched = [F.col(f"tf_{i}") > 0 for i in range(len(_TERMS))]
+    score_ppm = None
+    for i in range(len(_TERMS)):
+        term_ppm = F.when(
+            matched[i], F.round(_contrib(i) * F.lit(1e6)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        score_ppm = term_ppm if score_ppm is None else score_ppm + term_ppm
+    n_matched = None
+    for m in matched:
+        c = m.cast("long")
+        n_matched = c if n_matched is None else n_matched + c
+
+    doc_scores = (
+        doc.crossJoin(F.broadcast(stats))
+        .filter(F.greatest(*[F.col(f"tf_{i}") for i in range(len(_TERMS))]) > 0)
+        .select(
+            "doc_id",
+            score_ppm.alias("score_ppm"),
+            n_matched.alias("n_terms_matched"),
+        )
     )
     # TakeOrderedAndProject, not a global-window sort of the scored corpus.
     return global_topk(

@@ -123,14 +123,21 @@ def _hll_estimate_ppm() -> str:
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no scan spread: the md5+register map work is ~1:1 per event row, so
-    # a raw-fact repartition costs more than it buys (cf. core.py silver;
-    # sf10 A/B 17.0 s -> 22.1 s WITH the spread)
+    # Dedup-first (round 8): BOTH outputs are duplicate-insensitive — the
+    # exact side is COUNT(DISTINCT user_id) and the HLL register is a MAX
+    # over hashes — so distinct (event_type, user_id) pairs are computed
+    # ONCE (one fact scan, one shuffle: exactly the exchange countDistinct
+    # paid internally anyway) and both branches derive from them. The
+    # round-7 shape scanned events twice and ran md5 + the ~26 substring
+    # register extractions on every RAW row; now md5 touches each distinct
+    # user once (2.1 s standalone → see DECADE_sf10). The two consumers
+    # share the dedup exchange (AQE ReusedExchange).
     ev = load(spark, sf_dir, "events")
+    dedup = ev.select("event_type", "user_id").distinct()
     # explode(array(...)) is the repo's projection barrier (SCALE.md §8c):
     # bucket + rho reference `h` ~26 times via substring; CollapseProject
     # would otherwise inline the md5 into every reference.
-    hashed = ev.select(
+    hashed = dedup.select(
         "event_type",
         F.explode(
             F.array(F.expr("md5(cast(cast(user_id as string) as binary))"))
@@ -150,8 +157,10 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_present"
         ),
     )
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
+    # count(user_id), not count(*): dedup keeps at most one NULL row per
+    # type, and COUNT(DISTINCT) ignores NULLs — identical null semantics.
+    exact = dedup.groupBy("event_type").agg(
+        F.count("user_id").alias("n_exact")
     )
     return (
         exact.join(per, "event_type")
@@ -354,16 +363,24 @@ def _rrf_ppm() -> str:
 
 
 def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .search import _TERMS, q_bm25_search
+    from .search import _TERMS, _bm25_doc_table, q_bm25_search
 
     bm = q_bm25_search(spark, sf_dir).select(
         "doc_id", F.col("rank").cast("bigint").alias("rank_bm25")
     )
-    d = load(spark, sf_dir, "documents")
-    qtoks = d.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
-    ).filter(F.col("term").isin(*_TERMS))
-    tf_total = qtoks.groupBy("doc_id").agg(F.count("*").alias("tf_total"))
+    # tf_total (query-term token count per doc) = Σ tf_t of the SAME
+    # per-doc conditional aggregation bm25 scores from — the canonical
+    # subtree matches bm25's, so the executed plan shares the doc-grain
+    # exchange (one corpus tokenization for the whole fusion, where the
+    # round-7 shape paid bm25's three plus its own fourth).
+    doc = _bm25_doc_table(spark, sf_dir)
+    tf_sum = None
+    for i in range(len(_TERMS)):
+        c = F.col(f"tf_{i}")
+        tf_sum = c if tf_sum is None else tf_sum + c
+    tf_total = (
+        doc.select("doc_id", tf_sum.alias("tf_total")).filter(F.col("tf_total") > 0)
+    )
     tf_top = global_topk(
         tf_total, _FUSE_INPUT_K, [F.desc("tf_total"), F.asc("doc_id")],
         rank_col="rank_tf",

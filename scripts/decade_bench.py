@@ -275,10 +275,20 @@ def main() -> None:
     )
     if "auto" in standalone_sel:
         standalone_sel.discard("auto")
+        # auto skips rows whose printed ratio is already machine-annotated
+        # as not an engine comparison: stream_* (batch-oracle denominator)
+        # and rows carrying arrow/compute pairs (full-relation outputs
+        # whose collect ratio prices the Row codec — re-timing a 3×40 s
+        # 10M-row collect in a child JVM buys nothing the arrow/compute
+        # fields don't already say). Explicit names still force a pin.
         standalone_sel |= {
             q
             for q in spark_t
-            if spark_t[q] > 2.0 and duck_t.get(q) and spark_t[q] / duck_t[q] > 2.0
+            if spark_t[q] > 2.0
+            and duck_t.get(q)
+            and spark_t[q] / duck_t[q] > 2.0
+            and q not in STREAM_EXEC
+            and not (q in spark_arrow_t and q in spark_comp_t)
         }
     spark_solo_t: dict[str, float] = {}
     for q in sorted(standalone_sel & set(spark_t)):

@@ -234,10 +234,18 @@ def test_pagerank_rank_join_degrades_past_broadcast_cap(spark):
 
 
 def test_bm25_stats_broadcast_and_pruned_scan(spark):
-    """TXT-bm25 contract: df/corpus-stat joins broadcast; the documents
-    scan reads only doc_id and text."""
+    """TXT-bm25 contract (round-8 single-pass shape): the corpus is
+    tokenized ONCE into a per-doc conditional-aggregation table; dl/tf/df
+    all derive from it, so the executed plan carries ONE parquet scan with
+    the stats consumer sharing the doc-grain exchange (ReusedExchange),
+    and the scalar stats row rides a broadcast. The documents scan reads
+    only doc_id and text."""
     df = REG["bm25_search"].build(spark, SF_DIR_ORACLE)
-    assert pi.count_broadcast_joins(df) >= 2
+    plan = pi.final_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    scans, _, reused = pi.audit_counts(df)
+    assert scans == 1, f"{scans} scans — the corpus is tokenized more than once"
+    assert reused >= 1, "stats branch no longer shares the doc-grain exchange"
     schemas = pi.read_schemas(df)
     assert schemas and all("lang" not in s and "source" not in s for s in schemas), schemas
 
