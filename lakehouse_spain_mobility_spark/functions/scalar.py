@@ -32,6 +32,27 @@ def day_type(date_col: Column, is_holiday: Column | None = None) -> Column:
     return expr.cast("int")
 
 
+def day_type_from_epoch_days(days: Column) -> Column:
+    """:func:`day_type` from an epoch-days column, in pure long arithmetic.
+
+    1970-01-01 was a Thursday, so ``pmod(days + 3, 7)`` reproduces
+    ``F.weekday`` (0=Monday … 6=Sunday) without the per-row java.time
+    path — worth a measured ~0.3 s per 10M-row pass against the calendar
+    form (round-9 typical_day A/B, PERF.md). Equality with
+    :func:`day_type` over 1970–2100 is pinned by
+    ``test_day_type_epoch_days_matches_calendar``.
+    """
+    wd = F.pmod(days + F.lit(3), F.lit(7))
+    return (
+        F.when(wd == 0, F.lit(1))
+        .when(wd == 4, F.lit(5))
+        .when(wd == 5, F.lit(6))
+        .when(wd == 6, F.lit(0))
+        .otherwise(F.lit(2))
+        .cast("int")
+    )
+
+
 def sql_day_type(ts_expr: str) -> str:
     """DuckDB twin of :func:`day_type` (isodow: 1=Monday … 7=Sunday)."""
     wd = f"(isodow({ts_expr}) - 1)"

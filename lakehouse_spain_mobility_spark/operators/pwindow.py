@@ -116,7 +116,7 @@ def _murmur3_int(x: int, seed: int = 42) -> int:
     return h - (1 << 32) if h >= (1 << 31) else h
 
 
-def _slot_map(m: int) -> list[int]:
+def _slot_map(m: int) -> list[int] | None:
     """``repartition(m, col)`` assigns partition ``pmod(murmur3(col), m)``;
     dense chunk ids collide (balls-in-bins leaves ~1/e of the partitions
     empty and piles 2-3 chunks on others — measured at sf30 as the battery
@@ -129,13 +129,29 @@ def _slot_map(m: int) -> list[int]:
         slots.setdefault(_murmur3_int(x) % m, x)
         if len(slots) == m:
             return [slots[c] for c in range(m)]
-    raise AssertionError(f"slot inversion did not cover {m} residues")
+    return None  # astronomically unlikely; callers degrade, not crash
 
 
 def _slot_col(base: Column, m: int, offset: int = 0) -> Column:
     """Chunk id (``base``, ids offset..offset+m−1) → its repartition slot,
-    as a literal-array lookup (codegen-friendly, 1-indexed element_at)."""
-    return F.element_at(F.lit(_slot_map(m)), (base - F.lit(offset)).cast("int") + F.lit(1)).cast("int")
+    as a literal-array lookup (codegen-friendly, 1-indexed element_at).
+
+    If the 64·m search window ever failed to invert every residue
+    (probability ≲ (1−1/m)^64m ≈ e^−64 per residue), the stencil DEGRADES
+    to hashing the raw chunk id — the pre-round-8 balls-in-bins balance,
+    slower but identical values — rather than failing the query (ADVICE
+    r8: construction-time AssertionError broke the module's
+    warn-and-fall-back convention)."""
+    slots = _slot_map(m)
+    if slots is None:
+        warnings.warn(
+            f"pwindow: slot inversion did not cover {m} residues in 64*m "
+            "probes; degrading to raw chunk-id hash partitioning "
+            "(balls-in-bins final-stage balance)",
+            stacklevel=2,
+        )
+        return (base - F.lit(offset)).cast("int")
+    return F.element_at(F.lit(slots), (base - F.lit(offset)).cast("int") + F.lit(1)).cast("int")
 
 
 def _serial(df, part_cols, order_cols, aggs, lo, hi, out_cols):

@@ -14,6 +14,8 @@ planes and a multi-probe scheme; the relational shape is identical.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,6 +71,35 @@ def norm2_unrolled(a: Column, dim: int) -> Column:
 
 def cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
     return dot_unrolled(a, b, dim) / (norm2_unrolled(a, dim) * norm2_unrolled(b, dim))
+
+
+@lru_cache(maxsize=64)
+def dot_unrolled_expr(a: str, b: str, dim: int) -> Column:
+    """Text-built, memoized twin of :func:`dot_unrolled` for NAMED columns.
+
+    Parses to the identical left-associated tree (same IEEE evaluation
+    order — bit-equal results, same generated code), but costs ONE py4j
+    call instead of ~6·dim: per-build Column construction of the 64-term
+    chains was a measured ~1.5 s of the bitext fresh-build driver time
+    (VERDICT r8 #3 / PERF.md round 9). lru_cache: Column fragments are
+    immutable plan nodes (cf. deterministic._lit), so rebuilds are free.
+    """
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(terms)
+
+
+@lru_cache(maxsize=64)
+def norm2_unrolled_expr(a: str, dim: int) -> Column:
+    """Text-built, memoized twin of :func:`norm2_unrolled` (see
+    :func:`dot_unrolled_expr`)."""
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({a}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    return F.sqrt(F.expr(terms))
 
 
 def knn_bruteforce(

@@ -315,6 +315,77 @@ def st_bounds(wkt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["xmin", "ymin", "xmax", "ymax"])
 
 
+def _geom_stats_vectorized(wkt: pd.Series) -> pd.DataFrame | None:
+    """Batch-vectorized st_geom_stats for simple single-ring POLYGONs.
+
+    Returns None when any row is not of the 'POLYGON ((x y, …))' shape
+    with ≥3 vertices (MULTIPOLYGON, holes, NULLs, degenerate) — the
+    caller then takes the per-row loop. One np.fromstring parse of the
+    joined batch + reduceat segment reductions; see st_geom_stats's
+    docstring for the exactness argument."""
+    if len(wkt) == 0:
+        return None
+    s = wkt.astype("string")
+    if s.isna().any():
+        return None
+    ok = (
+        s.str.startswith("POLYGON ((")
+        & s.str.endswith("))")
+        & ~s.str.slice(10, -2).str.contains("(", regex=False)
+    )
+    if not bool(ok.all()):
+        return None
+    body = s.str.slice(10, -2)
+    npts = (body.str.count(",") + 1).to_numpy(np.int64)
+    if (npts < 3).any():
+        return None
+    joined = ",".join(body.tolist()).replace(",", " ")
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", DeprecationWarning)
+        flat = np.fromstring(joined, sep=" ")
+    if flat.size != 2 * int(npts.sum()) or not np.isfinite(flat).all():
+        return None  # malformed pair somewhere — let the loop diagnose
+    x, y = flat[0::2], flat[1::2]
+    ends = np.cumsum(npts)
+    starts = ends - npts
+    # next-vertex index with per-ring wraparound (the np.roll twin)
+    nxt = np.arange(1, x.size + 1)
+    nxt[ends - 1] = starts
+    x2, y2 = x[nxt], y[nxt]
+    cross = x * y2 - x2 * y
+    a = np.add.reduceat(cross, starts) / 2.0
+    sx = np.add.reduceat((x + x2) * cross, starts)
+    sy = np.add.reduceat((y + y2) * cross, starts)
+    xmin = np.minimum.reduceat(x, starts)
+    ymin = np.minimum.reduceat(y, starts)
+    xmax = np.maximum.reduceat(x, starts)
+    ymax = np.maximum.reduceat(y, starts)
+    mx = np.add.reduceat(x, starts) / npts
+    my = np.add.reduceat(y, starts) / npts
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = sx / (6.0 * a)
+        cy = sy / (6.0 * a)
+    # a == 0 and outside-bbox sliver guards, exactly as ring_area_centroid
+    bad = (a == 0.0) | ~(
+        (xmin <= cx) & (cx <= xmax) & (ymin <= cy) & (cy <= ymax)
+    )
+    cx = np.where(bad, mx, cx)
+    cy = np.where(bad, my, cy)
+    return pd.DataFrame(
+        {
+            "area": np.abs(a),
+            "lon": cx,
+            "lat": cy,
+            "xmin": xmin,
+            "ymin": ymin,
+            "xmax": xmax,
+            "ymax": ymax,
+        }
+    )
+
+
 @F.pandas_udf(
     T.StructType(
         [
@@ -335,7 +406,22 @@ def st_geom_stats(wkt: pd.Series) -> pd.DataFrame:
     (spatial_dissolve's measured sf10 cost). Values are bit-identical to
     the single-purpose kernels: area = |signed area of ring 0| (st_area's
     convention), centroid = area-weighted across rings (geom_centroid),
-    bounds over all ring vertices (st_bounds)."""
+    bounds over all ring vertices (st_bounds).
+
+    When every row in the Arrow batch is a simple single-ring POLYGON, a
+    fully vectorized path runs instead of the per-row Python loop: ONE
+    C-level parse of the whole batch's coordinates (np.fromstring over a
+    joined buffer) + per-ring shoelace/extent via np.*.reduceat — a
+    measured ~5× on the sf10 dissolve pass (PERF.md round 9). Exactness:
+    reduceat sums sequentially where np.sum pairs, so on data whose cross
+    terms are exactly representable (the dissolve contract's integer
+    coordinates — and any coordinates up to 2^26) the two orders are the
+    same exact value; MULTIPOLYGON/holes/degenerate batches fall back to
+    the loop, and the a==0 / outside-bbox sliver guards are replicated
+    row-wise."""
+    fast = _geom_stats_vectorized(wkt)
+    if fast is not None:
+        return fast
     rows = []
     for w in wkt:
         rings = parse_polygon_rings(w)

@@ -39,6 +39,16 @@ def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Mirrors the silver typing/cleaning hop (dags/mitma/silver_mitma.py:119-140):
     typed projection, day_type encoding, validity filters.
+
+    The calendar columns are pure int64 arithmetic on epoch seconds —
+    ``date`` is carried as epoch DAYS (it only ever feeds
+    COUNT(DISTINCT date), a bijection with the calendar date), hour from
+    second-of-day, day_type from day-of-week. The java.time per-row path
+    (to_date/hour/weekday, paid on BOTH fact passes) cost a measured
+    0.33 s of the 3.28 s sf10 standalone (round-9 A/B, PERF.md). floor/
+    pmod keep the arithmetic exact on either side of the epoch; the one
+    truncation left (timestamp→long on negative fractional seconds)
+    pre-dates every dataset this models.
     """
     # NO scan spread here, measured deliberately: events rows aggregate
     # ~1:1 into silver (no explode), so a repartition of the raw fact
@@ -46,14 +56,17 @@ def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16.8 s -> 23.8 s WITH the spread). tables.spread pays off only for
     # scans whose map side EXPANDS (documents tokenize/explode paths).
     ev = load(spark, sf_dir, "events")
+    secs = F.col("ts").cast("long")
+    days = F.floor(secs / F.lit(86400))  # exact: |secs| < 2^53
+    hour = (F.pmod(secs, F.lit(86400)) / F.lit(3600)).cast("int")
     return ev.select(
-        F.to_date("ts").alias("date"),
-        F.hour("ts").cast("int").alias("hour_period"),
+        days.alias("date"),
+        hour.alias("hour_period"),
         F.col("event_type").alias("origin_zone"),
         (F.col("user_id") % 20).cast("string").alias("destination_zone"),
         F.col("value").alias("trips"),
-        scalar.day_type(F.col("ts")).alias("day_type"),
-    ).filter(F.col("trips").isNotNull() & (F.col("trips") >= 0) & F.col("date").isNotNull())
+        scalar.day_type_from_epoch_days(days).alias("day_type"),
+    ).filter(F.col("trips").isNotNull() & (F.col("trips") >= 0) & F.col("ts").isNotNull())
 
 
 _SILVER_SQL = f"""

@@ -465,12 +465,12 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.filter(F.col("label") == _BT_SRC).select(
         F.col("id").alias("src_id"),
         F.col("embedding").alias("src_emb"),
-        sim.norm2_unrolled(F.col("embedding"), 64).alias("src_n"),
+        sim.norm2_unrolled_expr("embedding", 64).alias("src_n"),
     )
     b = v.filter(F.col("label") == _BT_TGT).select(
         F.col("id").alias("tgt_id"),
         F.col("embedding").alias("tgt_emb"),
-        sim.norm2_unrolled(F.col("embedding"), 64).alias("tgt_n"),
+        sim.norm2_unrolled_expr("embedding", 64).alias("tgt_n"),
     )
     # No checkpoint here, deliberately: the codegen'd scoring pass is
     # ~2 s/eval at sf1 while CHECKPOINTING the 3.6M-row grid cost 94 s
@@ -486,7 +486,7 @@ def q_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_id",
             "tgt_id",
             micro(
-                sim.dot_unrolled(F.col("src_emb"), F.col("tgt_emb"), 64)
+                sim.dot_unrolled_expr("src_emb", "tgt_emb", 64)
                 / (F.col("src_n") * F.col("tgt_n"))
             ).alias("cos_ppm"),
         )
@@ -694,7 +694,7 @@ def _bitext_margin_lsh(
             .select(
                 F.col("id").alias(idc),
                 F.col("embedding").alias(f"{idc}_emb"),
-                sim.norm2_unrolled(F.col("embedding"), 64).alias(f"{idc}_n"),
+                sim.norm2_unrolled_expr("embedding", 64).alias(f"{idc}_n"),
             )
         )
 
@@ -725,7 +725,7 @@ def _bitext_margin_lsh(
             "src_id",
             "tgt_id",
             micro(
-                sim.dot_unrolled(F.col("src_id_emb"), F.col("tgt_id_emb"), 64)
+                sim.dot_unrolled_expr("src_id_emb", "tgt_id_emb", 64)
                 / (F.col("src_id_n") * F.col("tgt_id_n"))
             ).alias("cos_ppm"),
         )

@@ -213,6 +213,96 @@ register(
     )
 )
 
+
+def q_hll_distinct_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-hash twin of ``hll_distinct`` (VERDICT r8 #2): registers from
+    ``xxhash64(user_id)`` — one JVM hash of the raw long, pure integer
+    bucket/rho extraction, no md5-of-string and no hex parsing. Fully
+    oracle-checkable: the DuckDB side recomputes Spark's exact xxhash64
+    via ``functions/xxh64_sql.py`` (XXH64-of-8-bytes in HUGEINT wrapping
+    arithmetic), so the estimate hash-matches bit for bit — the
+    ``spatial_dissolve_native`` twin pattern, answering whether the md5
+    form's residual ratio is hash-choice tax or engine constant."""
+    ev = load(spark, sf_dir, "events")
+    dedup = ev.select("event_type", "user_id").distinct()
+    # explode(array(...)) projection barrier as in the md5 form: bucket
+    # and rho reference h 3 times; the barrier keeps ONE hash per row.
+    hashed = dedup.select(
+        "event_type",
+        F.explode(F.array(F.xxhash64(F.col("user_id")))).alias("h"),
+    )
+    # bucket = low 6 bits (two's-complement & matches the oracle's
+    # unsigned % 64); rho stream = the 48 bits above bit 16.
+    rows = hashed.select(
+        "event_type",
+        F.expr(f"CAST((h & {_HLL_M - 1}) AS INT)").alias("bucket"),
+        F.expr(
+            f"CAST(CASE WHEN shiftrightunsigned(h, 16) = 0 THEN {_HLL_RHO_BITS + 1} "
+            f"ELSE {_HLL_RHO_BITS + 1} - length(bin(shiftrightunsigned(h, 16))) END AS INT)"
+        ).alias("rho"),
+    )
+    regs = rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
+    per = regs.groupBy("event_type").agg(
+        F.count("*").alias("nb"),
+        F.sum(F.expr(f"CAST(power(2.0, {_HLL_RHO_BITS + 1} - r) AS BIGINT)")).alias(
+            "s_present"
+        ),
+    )
+    exact = dedup.groupBy("event_type").agg(F.count("user_id").alias("n_exact"))
+    return exact.join(per, "event_type").select(
+        "event_type",
+        "n_exact",
+        F.col("nb").cast("bigint").alias("registers_nonzero"),
+        F.expr(_hll_estimate_ppm()).alias("hll_estimate_ppm"),
+    )
+
+
+def _hll_x64_sql() -> str:
+    from ..functions.xxh64_sql import xxh64_u64_sql_from
+
+    hashed = xxh64_u64_sql_from(
+        "user_id", "SELECT DISTINCT event_type, user_id FROM events", "event_type"
+    )
+    return f"""
+WITH hashed AS ({hashed}),
+rows_ AS (
+  SELECT event_type,
+         CAST(h_u % {_HLL_M} AS INTEGER) AS bucket,
+         CAST(CASE WHEN (h_u >> 16) = 0 THEN {_HLL_RHO_BITS + 1}
+              ELSE {_HLL_RHO_BITS + 1} - length(bin(CAST(h_u >> 16 AS BIGINT)))
+              END AS INTEGER) AS rho
+  FROM hashed
+),
+regs AS (
+  SELECT event_type, bucket, MAX(rho) AS r FROM rows_ GROUP BY 1, 2
+),
+per AS (
+  SELECT event_type, COUNT(*) AS nb,
+         CAST(SUM(CAST(power(2.0, {_HLL_RHO_BITS + 1} - r) AS BIGINT)) AS BIGINT)
+           AS s_present
+  FROM regs GROUP BY 1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT e.event_type, e.n_exact,
+       CAST(p.nb AS BIGINT) AS registers_nonzero,
+       {_hll_estimate_ppm()} AS hll_estimate_ppm
+FROM exact e JOIN per p USING (event_type)
+"""
+
+
+register(
+    QuerySpec(
+        "hll_distinct_x64",
+        q_hll_distinct_x64,
+        _hll_x64_sql(),
+        "SK-hll,A1",
+        False,
+        "HLL twin on xxhash64 registers (oracle recomputes Spark's exact XXH64 in SQL) — md5-vs-fast-hash floor probe",
+    )
+)
+
 # --- Count-Min sketch heavy hitters -----------------------------------------
 
 _CMS_D = 4  # hash rows

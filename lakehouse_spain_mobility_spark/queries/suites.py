@@ -233,6 +233,9 @@ SUITES: dict[str, list[str]] = {
         # round-6 fold-in (VERDICT r5 #2, #6): dedup-before-mine composition
         # + the native-SQL shoelace dissolve
         "bitext_margin_lsh_dedup", "spatial_dissolve_native",
+        # round-9 fold-in (VERDICT r8 #2): the xxhash64 HLL twin, whose
+        # oracle recomputes Spark's exact XXH64 in SQL (functions/xxh64_sql)
+        "hll_distinct_x64",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -59,6 +59,8 @@ QUERIES = [
     # round-7: rank-family battery now chunk-parallel (ranked_window) —
     # scale-measured from the rewrite on
     "window_battery",
+    # round-9: fast-hash HLL twin (md5-vs-xxhash64 floor probe, VERDICT r8 #2)
+    "hll_distinct_x64",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
@@ -92,6 +94,35 @@ best = None
 for _ in range(3):
     t0 = time.perf_counter()
     spec.build(spark, {sf_dir!r}).collect()
+    dt = time.perf_counter() - t0
+    best = dt if best is None or dt < best else best
+print("STANDALONE", round(best, 3))
+"""
+
+# DuckDB twin of the standalone child: same fresh-process, warmup,
+# min-of-3 protocol, so ratio_standalone divides like-for-like numbers
+# (ADVICE r8: the old ratio mixed a fresh-JVM Spark min-of-3 against the
+# single-run in-chain DuckDB time — systematically Spark-favoring).
+_STANDALONE_DUCK_CHILD = """
+import glob, os, sys, time
+sys.path.insert(0, {repo!r})
+import duckdb
+from lakehouse_spain_mobility_spark.queries import load_all
+from lakehouse_spain_mobility_spark.queries.tables import TABLE_NAMES
+con = duckdb.connect()
+sf_dir = {sf_dir!r}
+for t in TABLE_NAMES:
+    path = sf_dir + "/" + t + ".parquet"
+    if os.path.isdir(path):
+        path = path + "/*.parquet"
+        assert glob.glob(path), path
+    con.execute("CREATE VIEW " + t + " AS SELECT * FROM '" + path + "'")
+sql = load_all()[{name!r}].oracle
+con.execute(sql).fetchall()  # warmup
+best = None
+for _ in range(3):
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
     dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print("STANDALONE", round(best, 3))
@@ -222,7 +253,15 @@ def main() -> None:
         duck_skip = set(filter(None, os.environ.get("DECADE_DUCK_SKIP", "").split(",")))
         for spec in specs:
             if spec.name in duck_skip:
-                duck_note[spec.name] = "DNF: skipped via DECADE_DUCK_SKIP (known disk-budget spill)"
+                duck_note[spec.name] = (
+                    "DNF: skipped via DECADE_DUCK_SKIP (known disk-budget "
+                    "spill — kmv_jaccard's oracle wrote 45 GB of temp and "
+                    "was still climbing at sf10, rounds 5/7). Decade trend "
+                    "where the oracle fits: sf1 Spark 3.9 vs DuckDB 22.3 s "
+                    "(0.18x), sf3 9.5 vs 67.2 s (0.14x) — the oracle side "
+                    "is superlinear, Spark's salted two-level k-min is not; "
+                    "extrapolated sf10 oracle >200 s (VERDICT r8 #8)."
+                )
                 print(f"# duckdb {spec.name}: SKIPPED", file=sys.stderr)
                 continue
             try:
@@ -291,22 +330,35 @@ def main() -> None:
             and not (q in spark_arrow_t and q in spark_comp_t)
         }
     spark_solo_t: dict[str, float] = {}
-    for q in sorted(standalone_sel & set(spark_t)):
-        code = _STANDALONE_CHILD.format(
-            repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            name=q,
-            sf_dir=sf_dir,
-            bucketed=q in BUCKETED_FAMILY,
-        )
-        import subprocess
+    duck_solo_t: dict[str, float] = {}
+    repo_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import subprocess
 
+    def _run_child(code: str, tag: str, q: str, store: dict[str, float]) -> None:
         r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
         line = [l for l in r.stdout.splitlines() if l.startswith("STANDALONE")]
         if line:
-            spark_solo_t[q] = float(line[0].split()[1])
-            print(f"# spark-standalone {q}: {spark_solo_t[q]:.3f}s", file=sys.stderr)
+            store[q] = float(line[0].split()[1])
+            print(f"# {tag} {q}: {store[q]:.3f}s", file=sys.stderr)
         else:
-            print(f"# spark-standalone {q}: FAILED\n{r.stderr[-1500:]}", file=sys.stderr)
+            print(f"# {tag} {q}: FAILED\n{r.stderr[-1500:]}", file=sys.stderr)
+
+    for q in sorted(standalone_sel & set(spark_t)):
+        _run_child(
+            _STANDALONE_CHILD.format(
+                repo=repo_dir, name=q, sf_dir=sf_dir, bucketed=q in BUCKETED_FAMILY
+            ),
+            "spark-standalone", q, spark_solo_t,
+        )
+        # Pair every Spark pin with a DuckDB pin under the SAME protocol
+        # (fresh process, warmup, min-of-3) — a ratio mixing fresh-process
+        # Spark against in-chain DuckDB is systematically Spark-favoring
+        # (ADVICE r8). Known-DNF oracles (duck_skip) stay skipped.
+        if q not in duck_skip and q in duck_t:
+            _run_child(
+                _STANDALONE_DUCK_CHILD.format(repo=repo_dir, name=q, sf_dir=sf_dir),
+                "duckdb-standalone", q, duck_solo_t,
+            )
 
     out = {}
     for q in QUERIES:
@@ -328,31 +380,50 @@ def main() -> None:
             row["denominator"] = "batch-oracle"
         # spark-side sink/arrow/compute emit even when the DuckDB twin is
         # absent (DNF/skip) — dropping a measured number wastes a decade-
-        # scale execution (ADVICE r7); the ratio needs both sides.
+        # scale execution (ADVICE r7). Membership tests, not truthiness: a
+        # legitimately measured 0.0 s must be RECORDED (ADVICE r8); only
+        # the ratio needs a nonzero denominator.
         if q in spark_sink_t:
             row["spark_sink"] = spark_sink_t[q]
-            if duck_sink_t.get(q):
+            if q in duck_sink_t:
                 row["duckdb_sink"] = duck_sink_t[q]
-                row["ratio_sink"] = round(spark_sink_t[q] / duck_sink_t[q], 3)
+                if duck_sink_t[q] > 0:
+                    row["ratio_sink"] = round(spark_sink_t[q] / duck_sink_t[q], 3)
         if q in spark_arrow_t:
             row["spark_arrow"] = spark_arrow_t[q]
-            if duck_arrow_t.get(q):
+            if q in duck_arrow_t:
                 row["duckdb_arrow"] = duck_arrow_t[q]
-                row["ratio_arrow"] = round(spark_arrow_t[q] / duck_arrow_t[q], 3)
+                if duck_arrow_t[q] > 0:
+                    row["ratio_arrow"] = round(spark_arrow_t[q] / duck_arrow_t[q], 3)
         if q in spark_comp_t:
             row["spark_compute"] = spark_comp_t[q]
-            if duck_comp_t.get(q):
+            if q in duck_comp_t:
                 row["duckdb_compute"] = duck_comp_t[q]
-                row["ratio_compute"] = round(spark_comp_t[q] / duck_comp_t[q], 3)
+                if duck_comp_t[q] > 0:
+                    row["ratio_compute"] = round(spark_comp_t[q] / duck_comp_t[q], 3)
         if q in spark_solo_t:
             row["spark_standalone"] = spark_solo_t[q]
-            if duck_t.get(q):
-                row["ratio_standalone"] = round(spark_solo_t[q] / duck_t[q], 3)
-            row["standalone_note"] = (
-                "fresh interpreter+JVM, warmup then min of 3 fresh builds; "
-                "the in-chain spark number carries 40+ queries of "
-                "shared-session aging"
-            )
+            if q in duck_solo_t:
+                # like-for-like pair: both sides fresh-process min-of-3
+                row["duckdb_standalone"] = duck_solo_t[q]
+                if duck_solo_t[q] > 0:
+                    row["ratio_standalone"] = round(spark_solo_t[q] / duck_solo_t[q], 3)
+                row["standalone_note"] = (
+                    "both engines: fresh process, warmup then min of 3; "
+                    "the in-chain numbers carry 40+ queries of "
+                    "shared-session aging"
+                )
+            else:
+                # no DuckDB pin (DNF/skip) — the mixed-protocol ratio is
+                # machine-visible in the field name (ADVICE r8)
+                if duck_t.get(q):
+                    row["ratio_standalone_vs_inchain_duck"] = round(
+                        spark_solo_t[q] / duck_t[q], 3
+                    )
+                row["standalone_note"] = (
+                    "fresh interpreter+JVM, warmup then min of 3 fresh "
+                    "builds; DuckDB side is the in-chain single run"
+                )
         out[q] = row
     payload = {"label": label, "sf_dir": sf_dir, "queries": out}
     if bucket_etl is not None:

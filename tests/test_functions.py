@@ -39,6 +39,21 @@ def test_day_type_mapping(spark):
     assert [r["dt"] for r in df.collect()] == [1, 2, 2, 5, 6, 0]
 
 
+def test_day_type_epoch_days_matches_calendar(spark):
+    """The int-arithmetic day_type (epoch-days pmod) must equal the
+    calendar form on every day of 1969–2100 — including the pre-epoch
+    negative-days side, where pmod (not %) keeps the weekday positive."""
+    df = (
+        spark.range(-365, 48000)
+        .select(
+            scalar.day_type_from_epoch_days(F.col("id")).alias("fast"),
+            scalar.day_type(F.date_from_unix_date(F.col("id").cast("int"))).alias("cal"),
+        )
+        .filter(F.col("fast") != F.col("cal"))
+    )
+    assert df.count() == 0
+
+
 def test_day_type_holiday_override(spark):
     df = spark.createDataFrame([("2023-02-06", True), ("2023-02-06", False)], "d string, h boolean")
     out = df.select(scalar.day_type(F.to_date("d"), F.col("h")).alias("dt")).collect()

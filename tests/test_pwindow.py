@@ -225,6 +225,23 @@ def test_murmur3_matches_spark(spark):
         assert [_murmur3_int(s) % m for s in _slot_map(m)] == list(range(m))
 
 
+def test_slot_col_degrades_not_crashes(spark, monkeypatch):
+    """If slot inversion ever failed to cover every residue, _slot_col must
+    warn and fall back to raw chunk-id hashing (the pre-r8 balance), never
+    raise at query-construction time (ADVICE r8)."""
+    import warnings as _w
+
+    from lakehouse_spain_mobility_spark.operators import pwindow as pw
+
+    monkeypatch.setattr(pw, "_slot_map", lambda m: None)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        col = pw._slot_col(F.lit(7), 4, offset=2)
+    assert any("slot inversion" in str(c.message) for c in caught)
+    # fallback is the identity (base - offset) — values still partition-pure
+    assert spark.range(1).select(col.alias("s")).first()["s"] == 5
+
+
 def test_sliding_window_no_empty_partitions(spark):
     ev = _events(spark)
     par = sliding_rows_window(

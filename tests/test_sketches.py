@@ -28,6 +28,53 @@ def test_hll_estimate_within_sketch_error(spark):
             r["event_type"], est, r["n_exact"])
 
 
+def test_xxh64_sql_matches_spark_xxhash64(spark):
+    """The x64 HLL twin's oracle recomputes Spark's xxhash64 in DuckDB SQL
+    (functions/xxh64_sql.py). Pin the three-way agreement — Spark builtin,
+    driver-side Python model, generated DuckDB SQL — over a sign-covering
+    value range plus NULL (which Spark hashes to the bare seed, 42)."""
+    import duckdb
+
+    from lakehouse_spain_mobility_spark.functions.xxh64_sql import (
+        xxh64_long,
+        xxh64_u64_sql_from,
+    )
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 2**63 - 1, -(2**63) + 1, None] + [
+        (7919 * k) ** 3 % (2**63) - 2**62 for k in range(1, 60)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v long")
+    got = {
+        r["i"]: r["h"]
+        for r in df.select("i", F.xxhash64(F.col("v")).alias("h")).collect()
+    }
+    M = 1 << 64
+    for i, v in enumerate(vals):
+        exp = 42 if v is None else xxh64_long(v)
+        assert got[i] == exp, (v, got[i], exp)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(
+            f"({i}, {'NULL' if v is None else v}::BIGINT)" for i, v in enumerate(vals)
+        )
+        + ") AS x(i, v)"
+    )
+    sql = xxh64_u64_sql_from("v", "SELECT i, v FROM t", "i")
+    for i, h_u in con.execute(f"SELECT i, h_u FROM ({sql})").fetchall():
+        assert h_u == got[i] % M, (vals[i], h_u, got[i])
+
+
+def test_hll_x64_estimate_within_sketch_error(spark):
+    rows = REG["hll_distinct_x64"].build(spark, SF_DIR_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 1 <= r["registers_nonzero"] <= 64
+        est = r["hll_estimate_ppm"] / 1e6
+        assert abs(est - r["n_exact"]) <= max(3.0, 0.39 * r["n_exact"]), (
+            r["event_type"], est, r["n_exact"])
+
+
 def test_hll_registers_are_bounded_state(spark):
     # The register relation (pre-estimate) must be <= m rows per group —
     # the mergeable-state contract that makes HLL shuffle O(groups * m).

@@ -71,6 +71,44 @@ def test_shapefile_round_trip(spark, tmp_path):
     assert abs(abs(a) - 1.0) < 1e-9 and abs(cx - 0.5) < 1e-9 and abs(cy - 0.5) < 1e-9
 
 
+def test_geom_stats_vectorized_matches_loop():
+    """The batch-vectorized st_geom_stats path must agree with the per-row
+    loop on simple polygons (integer and exact-fraction coords, degenerate
+    slivers, CW and CCW rings), and decline (None) on anything else."""
+    import pandas as pd
+
+    wkts = [
+        "POLYGON ((0 0, 100 0, 100 120, 0 120, 0 0))",
+        "POLYGON ((5 5, 9 5, 9 8, 5 8, 5 5))",
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))",  # clockwise (negative area)
+        "POLYGON ((1 1, 2 1, 3 1, 1 1))",  # zero-area sliver -> mean fallback
+        "POLYGON ((0.5 0.25, 4.5 0.25, 4.5 3.25, 0.5 3.25, 0.5 0.25))",
+        "POLYGON ((-5 -7, 13 -7, 13 2, -5 2, -5 -7))",
+    ]
+    s = pd.Series(wkts)
+    fast = spatial._geom_stats_vectorized(s)
+    assert fast is not None
+    # the loop body, inlined (st_geom_stats is a pandas_udf wrapper)
+    loop = []
+    for w in wkts:
+        rings = spatial.parse_polygon_rings(w)
+        area = abs(spatial.ring_area_centroid(rings[0])[0])
+        a, cx, cy = spatial.ring_area_centroid(rings[0])
+        allp = rings[0]
+        lon, lat = (cx, cy) if a != 0.0 else (allp[:, 0].mean(), allp[:, 1].mean())
+        loop.append((area, lon, lat, allp[:, 0].min(), allp[:, 1].min(),
+                     allp[:, 0].max(), allp[:, 1].max()))
+    for i, (area, lon, lat, xmin, ymin, xmax, ymax) in enumerate(loop):
+        r = fast.iloc[i]
+        assert r["area"] == area and r["lon"] == lon and r["lat"] == lat, (i, dict(r))
+        assert (r["xmin"], r["ymin"], r["xmax"], r["ymax"]) == (xmin, ymin, xmax, ymax)
+    # non-simple shapes decline to the loop
+    assert spatial._geom_stats_vectorized(pd.Series(["MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))"])) is None
+    assert spatial._geom_stats_vectorized(pd.Series([None], dtype=object)) is None
+    assert spatial._geom_stats_vectorized(pd.Series(["POLYGON ((0 0, 1 0, 0 0))", "not wkt"])) is None
+    assert spatial._geom_stats_vectorized(pd.Series([], dtype=object)) is None
+
+
 def test_csv_modes(spark, tmp_path):
     p = tmp_path / "t.csv"
     p.write_text("a;b;c\n1;x;2.5\nbad;;row\n3;y;4.0\n", encoding="utf-8")
