@@ -176,6 +176,10 @@ register(
 # aggregates (Zipf-bounded, broadcastable); scoring is one explode + two
 # broadcast joins + one doc-key shuffle.
 _DSIR_BENCH = 20
+# literal-map scoring cap: under this many distinct tokens the model is
+# inlined as a constant map expression; above it, broadcast-join (the
+# expression tree, not the data, is the binding constraint)
+_DSIR_MAP_CAP = 1024
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +224,28 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lr"),
     )
-    contrib = raw.join(F.broadcast(model_lr), "token").select("doc_id", "lr")
+    # Scoring-pass lookup (VERDICT r8 #7, measured at sf10): a LITERAL MAP
+    # (element_at over create_map of the collected model) scores in 2.16 s
+    # where the broadcast hash join took 4.09 s — the join's per-occurrence
+    # string-key probe + exchange machinery loses to a constant-folded
+    # lookup when the model is tiny. The collect is CAPPED: a real corpus
+    # vocabulary (millions of tokens) would blow the expression tree, so
+    # past _DSIR_MAP_CAP distinct tokens the broadcast join remains the
+    # plan (take(cap+1) probes and, under the cap, IS the model — one
+    # model-pass execution either way).
+    head = model_lr.take(_DSIR_MAP_CAP + 1)
+    if len(head) <= _DSIR_MAP_CAP:
+        args: list = []
+        for r in head:
+            args.extend([F.lit(r["token"]), F.lit(float(r["lr"]))])
+        lookup = F.element_at(F.create_map(*args), F.col("token"))
+        # isNotNull mirrors the inner join: every raw token is in the
+        # model by construction, so nothing is actually dropped
+        contrib = raw.select("doc_id", lookup.alias("lr")).filter(
+            F.col("lr").isNotNull()
+        )
+    else:
+        contrib = raw.join(F.broadcast(model_lr), "token").select("doc_id", "lr")
     scored = contrib.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         micro(dsum(F.col("lr")) / F.count("*")).alias("logw_ppm"),

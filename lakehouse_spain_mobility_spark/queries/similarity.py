@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -606,6 +608,14 @@ def _band_sql(band: int, spark_dialect: bool) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
+@lru_cache(maxsize=_BTL_BANDS)
+def _band_col(band: int):
+    """Memoized Spark Column of one band signature (immutable plan node;
+    re-parsing the 8-term CASE text per build was part of the measured
+    ~0.5 s bitext build-only cost — PERF.md round 9)."""
+    return F.expr(_band_sql(band, True))
+
+
 def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bitext_margin_lsh(spark, sf_dir)
 
@@ -649,7 +659,7 @@ def _bitext_margin_lsh(
                 *[
                     F.struct(
                         F.lit(band).alias("band"),
-                        F.expr(_band_sql(band, True)).alias("sg"),
+                        _band_col(band).alias("sg"),
                     )
                     for band in range(_BTL_BANDS)
                 ]
