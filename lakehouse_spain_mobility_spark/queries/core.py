@@ -57,7 +57,9 @@ def _events_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans whose map side EXPANDS (documents tokenize/explode paths).
     ev = load(spark, sf_dir, "events")
     secs = F.col("ts").cast("long")
-    days = F.floor(secs / F.lit(86400))  # exact: |secs| < 2^53
+    # int, not long: epoch days fit 32 bits for ~5.8M years, and `date`
+    # only feeds COUNT(DISTINCT) state — half-width keys there
+    days = F.floor(secs / F.lit(86400)).cast("int")  # exact: |secs| < 2^53
     hour = (F.pmod(secs, F.lit(86400)) / F.lit(3600)).cast("int")
     return ev.select(
         days.alias("date"),

@@ -123,21 +123,22 @@ def _hll_estimate_ppm() -> str:
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Dedup-first (round 8): BOTH outputs are duplicate-insensitive — the
-    # exact side is COUNT(DISTINCT user_id) and the HLL register is a MAX
-    # over hashes — so distinct (event_type, user_id) pairs are computed
-    # ONCE (one fact scan, one shuffle: exactly the exchange countDistinct
-    # paid internally anyway) and both branches derive from them. The
-    # round-7 shape scanned events twice and ran md5 + the ~26 substring
-    # register extractions on every RAW row; now md5 touches each distinct
-    # user once (2.1 s standalone → see DECADE_sf10). The two consumers
-    # share the dedup exchange (AQE ReusedExchange).
+    # RAW-ROW registers (round 9, reverting the round-8 dedup-first form):
+    # register extraction runs on every scanned row with O(m) map-side MAX
+    # state — the textbook mergeable-sketch shuffle shape SCALE.md §8e
+    # documents — and the exact-contract column pays its own
+    # COUNT(DISTINCT). The r8 dedup-first form derived both branches from
+    # a distinct (event_type, user_id) exchange; that wins only when
+    # distincts ≪ raw (the replica-degenerate sf10 testdata, 1.5 vs 2.1 s)
+    # and LOSES 2.7× at sf30 where the 2.25M-pair distinct hashtable is
+    # the dominator (measured: distinct 7.0 s vs raw-row registers 1.0 s,
+    # PERF.md round 9). At corpus scale the distinct relation is
+    # fact-sized; the sketch must never depend on its collapse.
     ev = load(spark, sf_dir, "events")
-    dedup = ev.select("event_type", "user_id").distinct()
     # explode(array(...)) is the repo's projection barrier (SCALE.md §8c):
-    # bucket + rho reference `h` ~26 times via substring; CollapseProject
-    # would otherwise inline the md5 into every reference.
-    hashed = dedup.select(
+    # bucket + rho reference `h` repeatedly; CollapseProject would
+    # otherwise inline the md5 into every reference.
+    hashed = ev.select(
         "event_type",
         F.explode(
             F.array(F.expr("md5(cast(cast(user_id as string) as binary))"))
@@ -149,7 +150,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_hll_rho("h")).alias("rho"),
     )
     # Register table: constant-size mergeable state (<= m rows per group
-    # survive the map-side partial MAX).
+    # survive the map-side partial MAX). MAX is duplicate-insensitive, so
+    # raw-row and distinct-row registers are value-identical.
     regs = rows.groupBy("event_type", "bucket").agg(F.max("rho").alias("r"))
     per = regs.groupBy("event_type").agg(
         F.count("*").alias("nb"),
@@ -157,10 +159,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_present"
         ),
     )
-    # count(user_id), not count(*): dedup keeps at most one NULL row per
-    # type, and COUNT(DISTINCT) ignores NULLs — identical null semantics.
-    exact = dedup.groupBy("event_type").agg(
-        F.count("user_id").alias("n_exact")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
     )
     return (
         exact.join(per, "event_type")
@@ -174,6 +174,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_sql() -> str:
+    # the oracle mirrors the raw-row plan: md5 per scanned row, distinct
+    # only inside the exact-contract COUNT
     return f"""
 WITH hashed AS (
   SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
@@ -224,10 +226,13 @@ def q_hll_distinct_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spatial_dissolve_native`` twin pattern, answering whether the md5
     form's residual ratio is hash-choice tax or engine constant."""
     ev = load(spark, sf_dir, "events")
-    dedup = ev.select("event_type", "user_id").distinct()
+    # raw-row registers, like the md5 form (round 9): O(m) map-side MAX
+    # state, never a dependency on distinct-pair collapse. One xxhash64 of
+    # the raw long per scanned row costs ~1 s at sf30's 30M rows —
+    # measured against 7 s for the distinct exchange it replaces.
     # explode(array(...)) projection barrier as in the md5 form: bucket
     # and rho reference h 3 times; the barrier keeps ONE hash per row.
-    hashed = dedup.select(
+    hashed = ev.select(
         "event_type",
         F.explode(F.array(F.xxhash64(F.col("user_id")))).alias("h"),
     )
@@ -248,7 +253,7 @@ def q_hll_distinct_x64(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_present"
         ),
     )
-    exact = dedup.groupBy("event_type").agg(F.count("user_id").alias("n_exact"))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
     return exact.join(per, "event_type").select(
         "event_type",
         "n_exact",
@@ -261,7 +266,7 @@ def _hll_x64_sql() -> str:
     from ..functions.xxh64_sql import xxh64_u64_sql_from
 
     hashed = xxh64_u64_sql_from(
-        "user_id", "SELECT DISTINCT event_type, user_id FROM events", "event_type"
+        "user_id", "SELECT event_type, user_id FROM events", "event_type"
     )
     return f"""
 WITH hashed AS ({hashed}),
