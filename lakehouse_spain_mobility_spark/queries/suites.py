@@ -236,6 +236,9 @@ SUITES: dict[str, list[str]] = {
         # round-9 fold-in (VERDICT r8 #2): the xxhash64 HLL twin, whose
         # oracle recomputes Spark's exact XXH64 in SQL (functions/xxh64_sql)
         "hll_distinct_x64",
+        # round-9 additions: the privacy-audit triple's third member and
+        # the web-curation URL-dedup front door
+        "t_closeness_audit", "url_canonicalize",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

@@ -801,3 +801,126 @@ register(
         "l-diversity audit: distinct sensitive values per QID group, homogeneous groups exposed",
     )
 )
+
+
+# --- t-closeness audit (completing the privacy-audit triple) -----------------
+# Public method (Li, Li & Venkatasubramanian 2007): l-diversity still
+# leaks when a QID group's sensitive-value DISTRIBUTION diverges from the
+# table's — distinct values can be present yet skewed enough to infer.
+# t-closeness bounds the distance between each group's distribution and
+# the global one; for categorical attributes the distance is total
+# variation: d(g) = ½ Σ_v |n_gv/n_g − N_v/N|.
+#
+# Exactness: the per-group distance is computed as ONE exact integer
+# numerator Σ_v |n_gv·N − N_v·n_g| (values absent from a group fold in
+# algebraically: Σ_{v∈g}(|n_gv·N − N_v·n_g| − N_v·n_g) + n_g·N, so the
+# inner join carries the whole sum) before a single double division,
+# micro-quantized — the repo's fixed-point convention. BIGINT products
+# hold to ~3·10⁹ rows per event type; past that the numerator becomes
+# DECIMAL(38,0) (same expression, wider type — noted, not needed here).
+#
+# 100 TB shape: ONE corpus-sized aggregation (the (qid, sens) pair
+# counts — the same relation the l-diversity audit builds); every other
+# relation (group sizes, global marginals, totals) derives from it by
+# further aggregation, so nothing row-sized moves twice. Joins are
+# group-grain × value-grain — bounded by the coarse QID/sensitive
+# domains, broadcastable at any corpus size.
+
+_T_CLOSE_PPM = 400000  # t = 0.40
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    pairs = (
+        e.select(
+            "event_type",
+            F.hour("ts").alias("hh"),
+            F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("band"),
+            (F.col("user_id") % _SENS_MOD).alias("sens"),
+        )
+        .groupBy("event_type", "hh", "band", "sens")
+        .agg(F.count("*").alias("n_gv"))
+    )
+    glob = pairs.groupBy("event_type", "sens").agg(F.sum("n_gv").alias("n_v"))
+    grp = pairs.groupBy("event_type", "hh", "band").agg(F.sum("n_gv").alias("n_g"))
+    tot = glob.groupBy("event_type").agg(F.sum("n_v").alias("n_tot"))
+    term = (
+        pairs.join(glob, ["event_type", "sens"])
+        .join(grp, ["event_type", "hh", "band"])
+        .join(tot, "event_type")
+        .groupBy("event_type", "hh", "band", "n_g", "n_tot")
+        .agg(
+            F.sum(
+                F.abs(F.col("n_gv") * F.col("n_tot") - F.col("n_v") * F.col("n_g"))
+                - F.col("n_v") * F.col("n_g")
+            ).alias("present_part")
+        )
+    )
+    per_group = term.select(
+        "event_type",
+        micro(
+            (F.col("present_part") + F.col("n_g") * F.col("n_tot")).cast("double")
+            / (F.lit(2.0) * F.col("n_g") * F.col("n_tot"))
+        ).alias("t_ppm"),
+    )
+    viol = F.col("t_ppm") > _T_CLOSE_PPM
+    return per_group.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(viol.cast("int")).cast("bigint").alias("n_violating"),
+        F.max("t_ppm").alias("max_t_ppm"),
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH pairs AS (
+    SELECT event_type, hour(ts) AS hh,
+           CAST(FLOOR(value / 100.0) AS BIGINT) AS band,
+           user_id % {_SENS_MOD} AS sens,
+           COUNT(*) AS n_gv
+    FROM events GROUP BY 1, 2, 3, 4
+),
+marg AS (
+    SELECT event_type, sens, SUM(n_gv) AS n_v FROM pairs GROUP BY 1, 2
+),
+grp AS (
+    SELECT event_type, hh, band, SUM(n_gv) AS n_g FROM pairs GROUP BY 1, 2, 3
+),
+tot AS (
+    SELECT event_type, SUM(n_v) AS n_tot FROM marg GROUP BY 1
+),
+term AS (
+    SELECT p.event_type, p.hh, p.band, g.n_g, t.n_tot,
+           SUM(ABS(p.n_gv * t.n_tot - v.n_v * g.n_g) - v.n_v * g.n_g)
+             AS present_part
+    FROM pairs p
+    JOIN marg v ON p.event_type = v.event_type AND p.sens = v.sens
+    JOIN grp g ON p.event_type = g.event_type AND p.hh = g.hh AND p.band = g.band
+    JOIN tot t ON p.event_type = t.event_type
+    GROUP BY 1, 2, 3, 4, 5
+),
+per_group AS (
+    SELECT event_type,
+           CAST(ROUND(CAST(present_part + n_g * n_tot AS DOUBLE)
+                      / (2.0 * n_g * n_tot) * 1000000.0) AS BIGINT) AS t_ppm
+    FROM term
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN t_ppm > {_T_CLOSE_PPM} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating,
+       MAX(t_ppm) AS max_t_ppm
+FROM per_group
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "t_closeness_audit",
+        q_t_closeness_audit,
+        _TCLOSE_SQL,
+        "TXT-pii,A8",
+        False,
+        "t-closeness audit: exact-integer total-variation distance of each QID group's sensitive distribution vs the global",
+    )
+)

@@ -65,6 +65,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.deterministic import micro
 from ..functions.topk import global_topk
 from . import QuerySpec, register
 from .tables import load, spread
@@ -637,5 +638,169 @@ register(
         "TXT-boiler,TD-webcur",
         False,
         "Per-source template-line removal: distinct-doc frequency rule, reassembled clean-text md5",
+    )
+)
+
+
+# --- URL canonicalization + host-level dedup stats ---------------------------
+# The first step of every web-curation pipeline (CCNet/C4/RefinedWeb all
+# dedup by canonicalized URL before touching content): lowercase
+# scheme/authority, strip default ports, drop the fragment, remove
+# tracking parameters (utm_*/fbclid/gclid), sort the surviving query
+# parameters, strip the trailing slash — then count raw vs canonical
+# URLs per host. The corpus has no URL column, so a messy-but-
+# deterministic URL is synthesized per document from its keys (the
+# spatial_dissolve recipe: synthesize the input arithmetically, run the
+# REAL kernel, oracle-check the kernel); every canonicalization rule is
+# general-purpose string logic, not tuned to the synthesis.
+#
+# 100 TB shape: the canonicalization is pure per-row string codegen (one
+# interpreted HOF — the tracking-param filter over ~3 query params — is
+# the only non-codegen step); dedup is ONE hash aggregation on the
+# canonical string (map-side collapse), host rollup is |hosts|-sized.
+# Exactness: outputs are integers + one micro-quantized ratio; the
+# parameter sort is binary string order in both engines.
+
+
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # messy synthesis: mixed-case scheme/host, default ports, shuffled
+    # param order, tracking params, fragments, trailing slashes
+    url = F.expr(
+        "concat("
+        " CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',"
+        " CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,"
+        " '.example.org',"
+        " CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END,"
+        " '/', lang, '/page-', CAST(doc_id % 1000 AS STRING),"
+        " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+        " CASE WHEN doc_id % 7 = 0 THEN ''"
+        "      WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&b=', CAST(doc_id % 3 AS STRING), '&a=1')"
+        "      ELSE concat('?a=1&b=', CAST(doc_id % 3 AS STRING), '&fbclid=xyz') END,"
+        " CASE WHEN doc_id % 3 = 0 THEN '#sec1' ELSE '' END"
+        ")"
+    )
+    steps = (
+        d.select(F.col("doc_id"), url.alias("u"))
+        .select("doc_id", F.expr("split_part(u, '#', 1)").alias("nofrag"))
+        .select(
+            "doc_id",
+            F.expr("lower(split_part(nofrag, '://', 1))").alias("scheme"),
+            F.expr("split_part(nofrag, '://', 2)").alias("rest"),
+        )
+        .select(
+            "doc_id", "scheme",
+            F.expr("lower(split_part(rest, '/', 1))").alias("auth0"),
+            F.expr("substring(rest, length(split_part(rest, '/', 1)) + 1)").alias("pathq"),
+        )
+        .select(
+            "doc_id", "scheme",
+            F.expr(
+                "CASE WHEN endswith(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)"
+                "     WHEN endswith(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)"
+                "     ELSE auth0 END"
+            ).alias("host"),
+            F.expr("split_part(pathq, '?', 1)").alias("path0"),
+            F.expr(
+                "CASE WHEN instr(pathq, '?') > 0 THEN substring(pathq, instr(pathq, '?') + 1) ELSE '' END"
+            ).alias("q"),
+        )
+        .select(
+            "doc_id", "scheme", "host",
+            F.expr(
+                "CASE WHEN length(path0) > 1 AND endswith(path0, '/')"
+                " THEN substring(path0, 1, length(path0) - 1) ELSE path0 END"
+            ).alias("path"),
+            F.expr(
+                "array_join(sort_array(filter(split(q, '&'),"
+                " x -> NOT (startswith(x, 'utm_') OR startswith(x, 'fbclid')"
+                " OR startswith(x, 'gclid') OR x = ''))), '&')"
+            ).alias("qc"),
+        )
+        .select(
+            "doc_id", "host",
+            F.expr(
+                "concat(scheme, '://', host, path,"
+                " CASE WHEN qc <> '' THEN concat('?', qc) ELSE '' END)"
+            ).alias("canonical"),
+        )
+    )
+    return (
+        steps.groupBy("host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
+        )
+        .select(
+            "host", "n_raw", "n_canonical",
+            micro(
+                (F.col("n_raw") - F.col("n_canonical")).cast("double") / F.col("n_raw")
+            ).alias("dup_rate_ppm"),
+        )
+    )
+
+
+_URL_SQL = """
+WITH synth AS (
+    SELECT doc_id,
+           concat(
+             CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+             CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+             '.example.org',
+             CASE WHEN doc_id % 5 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END,
+             '/', lang, '/page-', CAST(doc_id % 1000 AS VARCHAR),
+             CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN ''
+                  WHEN doc_id % 2 = 0 THEN concat('?utm_source=feed&b=', CAST(doc_id % 3 AS VARCHAR), '&a=1')
+                  ELSE concat('?a=1&b=', CAST(doc_id % 3 AS VARCHAR), '&fbclid=xyz') END,
+             CASE WHEN doc_id % 3 = 0 THEN '#sec1' ELSE '' END
+           ) AS u
+    FROM documents
+),
+s1 AS (SELECT doc_id, split_part(u, '#', 1) AS nofrag FROM synth),
+s2 AS (SELECT doc_id, lower(split_part(nofrag, '://', 1)) AS scheme,
+              split_part(nofrag, '://', 2) AS rest FROM s1),
+s3 AS (SELECT doc_id, scheme,
+              lower(split_part(rest, '/', 1)) AS auth0,
+              substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+       FROM s2),
+s4 AS (SELECT doc_id, scheme,
+              CASE WHEN ends_with(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)
+                   WHEN ends_with(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)
+                   ELSE auth0 END AS host,
+              split_part(pathq, '?', 1) AS path0,
+              CASE WHEN instr(pathq, '?') > 0 THEN substring(pathq, instr(pathq, '?') + 1) ELSE '' END AS q
+       FROM s3),
+s5 AS (SELECT doc_id, scheme, host,
+              CASE WHEN length(path0) > 1 AND ends_with(path0, '/')
+                   THEN substring(path0, 1, length(path0) - 1) ELSE path0 END AS path,
+              array_to_string(list_sort(list_filter(string_split(q, '&'),
+                x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid')
+                          OR starts_with(x, 'gclid') OR x = ''))), '&') AS qc
+       FROM s4),
+canon AS (
+    SELECT doc_id, host,
+           concat(scheme, '://', host, path,
+                  CASE WHEN qc <> '' THEN concat('?', qc) ELSE '' END) AS canonical
+    FROM s5
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+       CAST(ROUND(CAST(COUNT(*) - COUNT(DISTINCT canonical) AS DOUBLE)
+                  / COUNT(*) * 1000000.0) AS BIGINT) AS dup_rate_ppm
+FROM canon
+GROUP BY 1
+"""
+
+
+register(
+    QuerySpec(
+        "url_canonicalize",
+        q_url_canonicalize,
+        _URL_SQL,
+        "TD-urldedup",
+        False,
+        "URL canonicalization (scheme/host case, default ports, fragments, tracking params, param order, trailing slash) + per-host raw-vs-canonical dedup stats",
     )
 )

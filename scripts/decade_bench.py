@@ -61,6 +61,8 @@ QUERIES = [
     "window_battery",
     # round-9: fast-hash HLL twin (md5-vs-xxhash64 floor probe, VERDICT r8 #2)
     "hll_distinct_x64",
+    # round-9 additions: scale-measured from birth
+    "t_closeness_audit", "url_canonicalize",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time

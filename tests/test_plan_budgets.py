@@ -50,7 +50,10 @@ SCAN_BUDGET = {
     "repetition_quality": 1, "pii_scrub": 1, "chunk_dedup": 2,
     "ann_recall": 2, "table_profile": 0, "event_funnel": 1,
     "olap_suite": 18, "analytic_window_suite": 16,
-    "round2_suite": 103,
+    # 106 at round 9: +hll_distinct_x64 (2 scans), +t_closeness_audit,
+    # +url_canonicalize (1 each); the raw-row hll forms scan events twice
+    # by design (registers + exact-contract countDistinct)
+    "round2_suite": 106,
 }
 
 

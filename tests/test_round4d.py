@@ -286,3 +286,81 @@ def test_python_datasource_pushdown_semantics(spark):
         for r in REG["python_datasource_scan"].build(spark, SF_DIR_SMALL).collect()
     }
     assert got == dict(want)
+
+
+def test_t_closeness_flags_skewed_groups(spark):
+    """Groups whose sensitive distribution is disjoint from each other sit
+    at TVD=0.5 against the 50/50 global; identically-distributed groups
+    sit at 0. Exact closed-form check of the ppm outputs."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    rows = []
+    eid = 0
+    # type 'skew': two QID groups (hh 10 / 11), disjoint sensitive users
+    for hh, uid in ((10, 1), (11, 2)):
+        for _ in range(4):
+            rows.append((eid, base + pd.Timedelta(hours=hh - 10), uid, "skew", 50.0, "{}"))
+            eid += 1
+    # type 'mix': two QID groups, each 50/50 users 1 and 2 -> TVD 0
+    for hh in (10, 11):
+        for uid in (1, 1, 2, 2):
+            rows.append((eid, base + pd.Timedelta(hours=hh - 10), uid, "mix", 50.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(ev).write.mode("overwrite").parquet(
+            os.path.join(td, "events.parquet")
+        )
+        got = {r["event_type"]: r.asDict()
+               for r in REG["t_closeness_audit"].build(spark, td).collect()}
+    assert got["skew"]["n_groups"] == 2
+    assert got["skew"]["n_violating"] == 2  # TVD 0.5 > t=0.4
+    assert got["skew"]["max_t_ppm"] == 500000
+    assert got["mix"]["n_groups"] == 2
+    assert got["mix"]["n_violating"] == 0
+    assert got["mix"]["max_t_ppm"] == 0
+
+
+def test_url_canonicalize_collapses_tracking_variants(spark):
+    """doc_ids congruent mod 3000 with the same source/lang synthesize
+    URLs differing only in case/port/fragment/tracking-params/param-order
+    — they must collapse to one canonical URL; distinct paths must not."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        [
+            (1, "text a", "en", "src1", 6),
+            (3001, "text b", "en", "src1", 6),  # same canonical as doc 1
+            (2, "text c", "en", "src1", 6),  # different path/parity
+        ],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(docs).write.mode("overwrite").parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        rows = {r["host"]: r.asDict()
+                for r in REG["url_canonicalize"].build(spark, td).collect()}
+    assert set(rows) == {"src1.example.org"}
+    r = rows["src1.example.org"]
+    assert r["n_raw"] == 3 and r["n_canonical"] == 2
+    assert r["dup_rate_ppm"] == 333333
+
+
+def test_url_canonicalize_output_invariants(spark):
+    rows = REG["url_canonicalize"].build(spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["host"] == r["host"].lower()
+        assert r["host"].endswith(".example.org") and ":" not in r["host"]
+        assert 0 < r["n_canonical"] <= r["n_raw"]
+        assert 0 <= r["dup_rate_ppm"] <= 1000000
