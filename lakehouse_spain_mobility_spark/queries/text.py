@@ -841,13 +841,24 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hh", "band", "sens")
         .agg(F.count("*").alias("n_gv"))
     )
-    glob = pairs.groupBy("event_type", "sens").agg(F.sum("n_gv").alias("n_v"))
-    grp = pairs.groupBy("event_type", "hh", "band").agg(F.sum("n_gv").alias("n_g"))
-    tot = glob.groupBy("event_type").agg(F.sum("n_v").alias("n_tot"))
+    # The three marginals (per-value, per-group, per-type totals) are
+    # WINDOW sums over the tiny pairs relation, not join-backs: one
+    # explicit repartition on event_type satisfies every downstream
+    # window partitionBy and both groupBys (subset-clustering), so the
+    # whole post-corpus computation runs on a SINGLE exchange of the
+    # |QID|x|sens|-bounded relation — the join form cost five broadcast
+    # stages on group-grain data (sf10 A/B in PERF.md round 9).
+    from pyspark.sql import Window as W
+
+    p = pairs.repartition("event_type")
+    n_v = F.sum("n_gv").over(W.partitionBy("event_type", "sens"))
+    n_g = F.sum("n_gv").over(W.partitionBy("event_type", "hh", "band"))
+    n_tot = F.sum("n_gv").over(W.partitionBy("event_type"))
     term = (
-        pairs.join(glob, ["event_type", "sens"])
-        .join(grp, ["event_type", "hh", "band"])
-        .join(tot, "event_type")
+        p.select(
+            "event_type", "hh", "band", "n_gv",
+            n_v.alias("n_v"), n_g.alias("n_g"), n_tot.alias("n_tot"),
+        )
         .groupBy("event_type", "hh", "band", "n_g", "n_tot")
         .agg(
             F.sum(

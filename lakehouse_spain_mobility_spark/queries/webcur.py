@@ -554,19 +554,29 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "lh")
         .withColumn("is_boiler", F.lit(True))
     )
-    marked = lines.join(boiler, ["source", "lh"], "left")
+    # boiler is bounded by construction (lines present in >60% of a
+    # source's docs) — explicit broadcast, its size is post-aggregation
+    marked = lines.join(F.broadcast(boiler), ["source", "lh"], "left")
     kept = marked.filter(F.col("is_boiler").isNull())
-    per_doc = kept.groupBy("doc_id").agg(
+    # Order-free multiset checksum fingerprint (the line_dedup idiom,
+    # round 9): the round-4 form collect_list'ed each doc's LINE TEXT
+    # through the doc-grain exchange and md5'd the array_sort-reassembled
+    # string — the text shuffle + per-doc buffering was the query's
+    # dominant stage (sf10 5.26 s standalone). The (line_no, line) pair
+    # hash is computed BEFORE the exchange, partial SUMs collapse
+    # map-side, and only (doc_id, 2 longs) ride the wire: 5.26 → measured
+    # in PERF.md round 9. line_no keeps the fingerprint order-sensitive.
+    pair_h = F.expr(
+        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(line_no AS STRING), "
+        "line) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    per_doc = kept.select("doc_id", pair_h.alias("ph")).groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept_lines"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("clean_hash"),
+        (
+            F.sum(F.shiftright(F.col("ph"), 31)).cast("decimal(38,0)")
+            * F.lit(_LD_POW31).cast("decimal(38,0)")
+            + F.sum(F.col("ph").bitwiseAND(F.lit(_LD_MASK31))).cast("decimal(38,0)")
+        ).cast("string").alias("clean_check"),
     )
     base = d.select(
         "doc_id",
@@ -580,9 +590,7 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_lines") - F.coalesce(F.col("n_kept_lines"), F.lit(0)))
         .cast("bigint")
         .alias("n_boiler_lines"),
-        F.coalesce(F.col("clean_hash"), F.md5(F.lit("").cast("binary"))).alias(
-            "clean_hash"
-        ),
+        F.coalesce(F.col("clean_check"), F.lit("0")).alias("clean_check"),
     )
 
 
@@ -618,14 +626,19 @@ WITH toks AS (
 ), per_doc AS (
   SELECT doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_kept_lines,
-         md5(string_agg(line, ' ' ORDER BY line_no)) AS clean_hash
-  FROM kept GROUP BY doc_id
+         CAST(CAST(SUM(ph >> 31) AS DECIMAL(38,0)) * {_LD_POW31}
+              + CAST(SUM(ph & {_LD_MASK31}) AS DECIMAL(38,0)) AS VARCHAR) AS clean_check
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substring(md5(CAST(line_no AS VARCHAR) || ':' || line), 1, 10)) AS BIGINT) AS ph
+    FROM kept
+  ) GROUP BY doc_id
 )
 SELECT t.doc_id, t.source,
        CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT) AS n_lines,
        CAST(CEIL(len(t.w) / {_LINE_TOKENS}.0) AS BIGINT)
          - CAST(COALESCE(p.n_kept_lines, 0) AS BIGINT) AS n_boiler_lines,
-       COALESCE(p.clean_hash, md5('')) AS clean_hash
+       COALESCE(p.clean_check, '0') AS clean_check
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
 """
 

@@ -223,15 +223,23 @@ def test_boilerplate_removal_planted_template(spark):
         )
         got = {r["doc_id"]: r.asDict()
                for r in REG["boilerplate_removal"].build(spark, td).collect()}
+    def check(pairs):
+        # the round-9 order-free multiset checksum (line_no-pinned):
+        # 40-bit md5 prefix per (line_no, line) pair, hi/lo partial sums
+        phs = [int(hashlib.md5(f"{no}:{line}".encode()).hexdigest()[:10], 16)
+               for no, line in pairs]
+        return str(sum(p >> 31 for p in phs) * (1 << 31)
+                   + sum(p & ((1 << 31) - 1) for p in phs))
+
     for i in range(5):
         assert got[i]["n_lines"] == 2
         assert got[i]["n_boiler_lines"] == 1  # template dropped
-        assert got[i]["clean_hash"] == hashlib.md5(f"u{i}".encode()).hexdigest()
+        assert got[i]["clean_check"] == check([(1, f"u{i}")])
     for i in (10, 11):
         assert got[i]["n_boiler_lines"] == 0  # 2-doc source keeps it
-        assert got[i]["clean_hash"] == hashlib.md5(template.encode()).hexdigest()
+        assert got[i]["clean_check"] == check([(0, template)])
     assert got[20]["n_lines"] == 0
-    assert got[20]["clean_hash"] == hashlib.md5(b"").hexdigest()
+    assert got[20]["clean_check"] == "0"
 
 
 def test_python_datasource_pushdown_semantics(spark):
