@@ -320,9 +320,15 @@ def _geom_stats_vectorized(wkt: pd.Series) -> pd.DataFrame | None:
 
     Returns None when any row is not of the 'POLYGON ((x y, …))' shape
     with ≥3 vertices (MULTIPOLYGON, holes, NULLs, degenerate) — the
-    caller then takes the per-row loop. One np.fromstring parse of the
-    joined batch + reduceat segment reductions; see st_geom_stats's
-    docstring for the exactness argument."""
+    caller then takes the per-row loop. One C-level parse of the joined
+    batch + reduceat segment reductions; see st_geom_stats's docstring
+    for the exactness argument. That argument (reduceat sums
+    sequentially, np.sum pairs — identical only when every partial sum
+    is exactly representable in any order) is ENFORCED at runtime, not
+    assumed: the fast path only runs for quarter-integral coordinates
+    with |coord| ≤ 8192 on rings of ≤ 64 vertices (the inline proof at
+    the gate), so the output never depends on which other rows share
+    the Arrow batch (ADVICE r9 #1)."""
     if len(wkt) == 0:
         return None
     s = wkt.astype("string")
@@ -340,13 +346,28 @@ def _geom_stats_vectorized(wkt: pd.Series) -> pd.DataFrame | None:
     if (npts < 3).any():
         return None
     joined = ",".join(body.tolist()).replace(",", " ")
-    import warnings as _warnings
-
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore", DeprecationWarning)
-        flat = np.fromstring(joined, sep=" ")
+    try:
+        # np.array over the split token list: the non-deprecated C-level
+        # bulk parse (np.fromstring's text mode is slated for removal)
+        flat = np.array(joined.split(), dtype=np.float64)
+    except ValueError:
+        return None  # non-numeric token somewhere — let the loop diagnose
     if flat.size != 2 * int(npts.sum()) or not np.isfinite(flat).all():
         return None  # malformed pair somewhere — let the loop diagnose
+    # Exactness precondition, CHECKED not assumed (ADVICE r9 #1): with
+    # coords that are multiples of 1/4 (k = 4·coord integer, |k| ≤ 2^15)
+    # and rings of ≤ 64 vertices, every intermediate is an exact integer
+    # in 1/64 units — cross terms |k1k2−k1'k2'| ≤ 2^31, centroid terms
+    # |(k1+k2)·cross_k| ≤ 2^47, per-ring partial sums ≤ 64·2^47 = 2^53 —
+    # so reduceat (sequential) and np.sum (pairwise, the loop path's
+    # order) are the SAME exact value in any order, and batch composition
+    # can never change a row's answer. Anything outside the bound falls
+    # back to the per-row loop (the semantics-defining path).
+    q = flat * 4.0
+    if not bool(((np.floor(q) == q) & (np.abs(flat) <= 8192.0)).all()):
+        return None
+    if int(npts.max()) > 64:
+        return None
     x, y = flat[0::2], flat[1::2]
     ends = np.cumsum(npts)
     starts = ends - npts
@@ -408,17 +429,20 @@ def st_geom_stats(wkt: pd.Series) -> pd.DataFrame:
     convention), centroid = area-weighted across rings (geom_centroid),
     bounds over all ring vertices (st_bounds).
 
-    When every row in the Arrow batch is a simple single-ring POLYGON, a
-    fully vectorized path runs instead of the per-row Python loop: ONE
-    C-level parse of the whole batch's coordinates (np.fromstring over a
-    joined buffer) + per-ring shoelace/extent via np.*.reduceat — a
-    measured ~5× on the sf10 dissolve pass (PERF.md round 9). Exactness:
-    reduceat sums sequentially where np.sum pairs, so on data whose cross
-    terms are exactly representable (the dissolve contract's integer
-    coordinates — and any coordinates up to 2^26) the two orders are the
-    same exact value; MULTIPOLYGON/holes/degenerate batches fall back to
-    the loop, and the a==0 / outside-bbox sliver guards are replicated
-    row-wise."""
+    When every row in the Arrow batch is a simple single-ring POLYGON
+    with verifiably exact coordinates, a fully vectorized path runs
+    instead of the per-row Python loop: ONE C-level parse of the whole
+    batch's coordinates (np.array over a joined-then-split buffer) +
+    per-ring shoelace/extent via np.*.reduceat — a measured ~5× on the
+    sf10 dissolve pass (PERF.md round 9). Exactness: reduceat sums
+    sequentially where np.sum pairs, so the fast path is gated at
+    runtime on quarter-integral coordinates with |coord| ≤ 8192 and
+    rings of ≤ 64 vertices (every intermediate then an exact integer
+    in 1/64 units — all summation orders bit-identical; proof at the
+    gate in _geom_stats_vectorized); general floats, MULTIPOLYGON/
+    holes/degenerate batches fall back to the loop, making the result
+    independent of Arrow batch composition (ADVICE r9 #1), and the
+    a==0 / outside-bbox sliver guards are replicated row-wise."""
     fast = _geom_stats_vectorized(wkt)
     if fast is not None:
         return fast

@@ -183,6 +183,15 @@ _DSIR_MAP_CAP = 1024
 
 
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAGER-BUILD CONTRACT (ADVICE r9 #3): when the model vocabulary fits
+    under ``_DSIR_MAP_CAP``, building this DataFrame RUNS a Spark job
+    (``model_lr.take(cap+1)``) and freezes the model into literals —
+    explain/plan-only callers pay a full model pass, and data written to
+    ``sf_dir`` between build and execution is scored against the model as
+    of build time. That is the intended snapshot semantics of a literal-
+    map scorer (a production DSIR pass pins its model artifact the same
+    way); callers needing a fully lazy plan should use the broadcast-join
+    path, which is exactly what runs past the cap."""
     # Conditional few-file scan spread (cf. q_perplexity_filter): both
     # tokenize passes (model, scoring) parallelize; skipped when the scan
     # already has enough splits.
@@ -300,7 +309,9 @@ register(
         _DSIR_SQL,
         "TXT-dsir,A1",
         False,
-        "DSIR importance weights: unigram likelihood ratio target-vs-raw, top-20 target-like docs",
+        "DSIR importance weights: unigram likelihood ratio target-vs-raw, top-20 target-like docs "
+        "(EAGER BUILD under the literal-map cap: constructing the DataFrame runs the model pass "
+        "and freezes the model at build time — see q_dsir_weights docstring)",
     )
 )
 

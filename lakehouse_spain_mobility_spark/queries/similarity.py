@@ -609,11 +609,16 @@ def _band_sql(band: int, spark_dialect: bool) -> str:
 
 
 @lru_cache(maxsize=_BTL_BANDS)
+def _band_sql_spark(band: int) -> str:
+    """Memoized SQL TEXT of one band signature — the string build is the
+    expensive, safely-cacheable part (PERF.md round 9); the Column is
+    re-parsed per call (one gateway round-trip) so nothing cached holds
+    a py4j handle into a stopped JVM (ADVICE r9 #2)."""
+    return _band_sql(band, True)
+
+
 def _band_col(band: int):
-    """Memoized Spark Column of one band signature (immutable plan node;
-    re-parsing the 8-term CASE text per build was part of the measured
-    ~0.5 s bitext build-only cost — PERF.md round 9)."""
-    return F.expr(_band_sql(band, True))
+    return F.expr(_band_sql_spark(band))
 
 
 def q_bitext_margin_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

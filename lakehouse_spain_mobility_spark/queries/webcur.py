@@ -708,9 +708,11 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "scheme",
+            # default-port strip is SCHEME-CONDITIONAL (ADVICE r9 #5):
+            # https://host:80 is a distinct origin and must keep its port
             F.expr(
-                "CASE WHEN endswith(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)"
-                "     WHEN endswith(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)"
+                "CASE WHEN scheme = 'http' AND endswith(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)"
+                "     WHEN scheme = 'https' AND endswith(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)"
                 "     ELSE auth0 END"
             ).alias("host"),
             F.expr("split_part(pathq, '?', 1)").alias("path0"),
@@ -778,8 +780,8 @@ s3 AS (SELECT doc_id, scheme,
               substring(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
        FROM s2),
 s4 AS (SELECT doc_id, scheme,
-              CASE WHEN ends_with(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)
-                   WHEN ends_with(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)
+              CASE WHEN scheme = 'http' AND ends_with(auth0, ':80') THEN substring(auth0, 1, length(auth0) - 3)
+                   WHEN scheme = 'https' AND ends_with(auth0, ':443') THEN substring(auth0, 1, length(auth0) - 4)
                    ELSE auth0 END AS host,
               split_part(pathq, '?', 1) AS path0,
               CASE WHEN instr(pathq, '?') > 0 THEN substring(pathq, instr(pathq, '?') + 1) ELSE '' END AS q

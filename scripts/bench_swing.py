@@ -42,7 +42,13 @@ def main() -> None:
     if not runs:
         raise SystemExit("no successful bench runs")
     totals = [r["value"] + r["value2"] for r in runs]
-    med_i = totals.index(sorted(totals)[len(totals) // 2])
+    # median-adjacent pick: for even N statistics.median averages the two
+    # middle totals (no run has that total), so the record is the run
+    # CLOSEST to the band median — keeps headline value/value2 consistent
+    # with the reported h1/h2 medians for odd N and documented-nearest for
+    # even N (ADVICE r9 #4)
+    band_med = statistics.median(totals)
+    med_i = min(range(len(runs)), key=lambda i: abs(totals[i] - band_med))
     rec = dict(runs[med_i])
     h1 = [r["value"] for r in runs]
     h2 = [r["value2"] for r in runs]
@@ -52,7 +58,8 @@ def main() -> None:
         "h2_min": min(h2), "h2_median": statistics.median(h2), "h2_max": max(h2),
     }
     rec["swing_note"] = (
-        "record = the median-total run of sequential fresh-process bench.py "
+        "record = the run whose total is closest to the band median, over "
+        "sequential fresh-process bench.py "
         "executions on a quiet host; committed bands replace the single-"
         "sample record (VERDICT r8 bench-record hygiene)"
     )

@@ -107,6 +107,16 @@ def test_geom_stats_vectorized_matches_loop():
     assert spatial._geom_stats_vectorized(pd.Series([None], dtype=object)) is None
     assert spatial._geom_stats_vectorized(pd.Series(["POLYGON ((0 0, 1 0, 0 0))", "not wkt"])) is None
     assert spatial._geom_stats_vectorized(pd.Series([], dtype=object)) is None
+    # the ADVICE r9 #1 exactness gate: coordinates whose summation-order
+    # equivalence is NOT provable decline to the loop — non-dyadic floats,
+    # out-of-bound magnitudes, and long rings (even with integer coords)
+    assert spatial._geom_stats_vectorized(
+        pd.Series(["POLYGON ((0.1 0, 1 0, 1 1, 0.1 0))"])) is None
+    assert spatial._geom_stats_vectorized(
+        pd.Series(["POLYGON ((0 0, 800000 0, 800000 4000000, 0 0))"])) is None
+    long_ring = "POLYGON ((" + ", ".join(
+        f"{i} {i % 3}" for i in range(70)) + ", 0 0))"
+    assert spatial._geom_stats_vectorized(pd.Series([long_ring])) is None
 
 
 def test_csv_modes(spark, tmp_path):
