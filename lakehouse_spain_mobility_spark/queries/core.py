@@ -150,11 +150,10 @@ GROUP BY day_type, hour_period, origin_zone, destination_zone
 """
 
 
-def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BQ1 report re-aggregation over gold, IN-scoped to target zones
-    (dags/mitma/generate_report.py:45-61): SUM/AVG/STDDEV of the pattern
-    stats + AVG(num_days_observed), grouped by (day_type, hour_period)."""
-    gold = q_typical_day(spark, sf_dir)
+def _rollup_over_gold(gold: DataFrame) -> DataFrame:
+    """The report aggregation itself (dags/mitma/generate_report.py:45-61):
+    IN-scope to target zones, SUM/AVG/STDDEV of the pattern stats +
+    AVG(num_days_observed) by (day_type, hour_period)."""
     scoped = gold.filter(F.col("origin_zone").isin("click", "view", "purchase"))
     return (
         scoped.groupBy("day_type", "hour_period")
@@ -166,6 +165,69 @@ def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_type", "hour_period")
     )
+
+
+def q_report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ1 report re-aggregation, END-TO-END form: recomputes silver →
+    stats → gold → rollup in one plan. This is the pipeline-cost
+    contract; the reference itself does NOT run this shape — its report
+    reads the stored gold table (see ``q_report_rollup_gold``)."""
+    return _rollup_over_gold(q_typical_day(spark, sf_dir))
+
+
+def materialized_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gold_typical_day_patterns as a STORED table (K3 materialization,
+    dags/mitma/new_gold.py:31-32 CREATE OR REPLACE TABLE): built lazily
+    once per (process, sf_dir, source-mtime) and read back from parquet —
+    exactly how the reference's report consumes gold
+    (dags/mitma/generate_report.py:47-61 queries the stored table rather
+    than recomputing the model). Parquet round-trips every column type
+    bit-exactly, so downstream values are identical to the in-plan form.
+    Clustered on (day_type, hour_period) — the report's group/filter keys
+    — per SURVEY §4.3's gold-layout guidance."""
+    import os
+    import re
+    import tempfile
+
+    from ..catalog import Warehouse
+
+    src = f"{sf_dir}/events.parquet"
+    try:
+        mtime = int(os.stat(src).st_mtime)
+    except OSError:
+        mtime = 0
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", f"{sf_dir.strip('/')}_{mtime}")
+    name = f"gold_typical_day_{tag}"
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_gold", str(os.getpid()))
+    wh = Warehouse(spark, root)
+    if not wh.table_exists(name):
+        # stale-mtime sweep, same hygiene as bucketed_ps_lineitem: a cache
+        # miss means the source was regenerated — older layouts for the
+        # same sf_dir are unreachable for the rest of the process
+        prefix = "gold_typical_day_" + re.sub(
+            r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")
+        ) + "_"
+        for t in wh.list_tables():
+            if t.startswith(prefix) and t != name:
+                wh.drop_if_exists(t)
+        wh.create_or_replace_clustered(
+            name, q_typical_day(spark, sf_dir), ["day_type", "hour_period"], n_files=1
+        )
+    return wh.read(name)
+
+
+def q_report_rollup_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BQ1 report rollup, READ-FROM-GOLD form (VERDICT r9 #1): the
+    reference's own two-step — gold is materialized ONCE (amortized
+    across every report over it), the report is a rollup of the ~12k-row
+    stored table. At 100 TB this is the only sane shape: the report
+    query touches kilobytes of gold instead of re-scanning the fact
+    table. The DuckDB oracle recomputes gold as a CTE in-query (the
+    harness's views are the raw tables), so its timing INCLUDES the
+    model build the Spark side amortizes — values are identical either
+    way; ``report_rollup`` stays registered as the symmetric end-to-end
+    cost contract."""
+    return _rollup_over_gold(materialized_gold(spark, sf_dir))
 
 
 _REPORT_ROLLUP_SQL = f"""
@@ -209,5 +271,18 @@ register(
         survey="A4,P6",
         bench=True,
         description="BQ1 report rollup with IN-scoping (dags/mitma/generate_report.py:45-61)",
+    )
+)
+register(
+    QuerySpec(
+        name="report_rollup_gold",
+        build=q_report_rollup_gold,
+        oracle=_REPORT_ROLLUP_SQL,
+        survey="A4,P6,K3",
+        description=(
+            "BQ1 report rollup READ-FROM-GOLD: K3-materialized gold_typical_day_patterns "
+            "stored once, report rolls up the stored table (the reference's two-step, "
+            "generate_report.py:47-61 over new_gold.py:31-32); oracle recomputes gold in-query"
+        ),
     )
 )

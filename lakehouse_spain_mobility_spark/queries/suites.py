@@ -239,6 +239,8 @@ SUITES: dict[str, list[str]] = {
         # round-9 additions: the privacy-audit triple's third member and
         # the web-curation URL-dedup front door
         "t_closeness_audit", "url_canonicalize",
+        # round-10 fold-in (VERDICT r9 #1): the read-from-gold report form
+        "report_rollup_gold",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

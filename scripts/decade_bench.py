@@ -63,6 +63,14 @@ QUERIES = [
     "hll_distinct_x64",
     # round-9 additions: scale-measured from birth
     "t_closeness_audit", "url_canonicalize",
+    # round-10: the read-from-gold report twin (VERDICT r9 #1). Its Spark
+    # warmup run MATERIALIZES the gold table (the amortized one-time step,
+    # like the bucketed family's layout ETL); the timed runs then read the
+    # stored ~12k-row gold — the reference's own report shape. The DuckDB
+    # twin recomputes gold as a CTE each run (the harness views are the raw
+    # tables), so its denominator INCLUDES the model build: the printed
+    # ratio is Spark-favoring by construction and annotated in the row.
+    "report_rollup_gold",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
@@ -75,6 +83,10 @@ STREAM_EXEC = {
     "stream_tumbling_exec", "stream_session_exec", "stream_dedup_exec",
     "stream_join_exec", "stream_stateful_exec",
 }
+# Rows whose Spark side reads a warmup-materialized gold table while the
+# DuckDB oracle recomputes the model in-query — the ratio numerator and
+# denominator price different (both legitimate) shapes; machine-annotated.
+AMORTIZED_GOLD = {"report_rollup_gold"}
 
 
 # Fresh-process re-timing for the standalone pins: sf30_refresh.py's cold
@@ -380,6 +392,14 @@ def main() -> None:
             # a real StateStore micro-batch execution against a trivial
             # batch denominator — a cost-model note, not an engine defect.
             row["denominator"] = "batch-oracle"
+        if q in AMORTIZED_GOLD:
+            row["denominator"] = "recomputes-gold-in-query"
+            row["note"] = (
+                "spark reads the K3-materialized gold (one-time build paid "
+                "at warmup, amortized across reports — the reference's "
+                "generate_report shape); the oracle rebuilds gold as a CTE "
+                "every run, so the ratio is spark-favoring by construction"
+            )
         # spark-side sink/arrow/compute emit even when the DuckDB twin is
         # absent (DNF/skip) — dropping a measured number wastes a decade-
         # scale execution (ADVICE r7). Membership tests, not truthiness: a
