@@ -99,6 +99,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import streamx  # noqa: F401
     from . import sketches  # noqa: F401
     from . import setjoin  # noqa: F401
+    from . import qsketch  # noqa: F401
     from . import suites  # noqa: F401  (must come after all member modules)
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -58,6 +58,7 @@ from . import lm  # noqa: F401,E402
 from . import funnel  # noqa: F401,E402
 from . import curation  # noqa: F401,E402
 from . import nested  # noqa: F401,E402
+from . import qsketch  # noqa: F401,E402
 from . import webcur  # noqa: F401,E402
 from . import selection  # noqa: F401,E402
 from . import increment  # noqa: F401,E402
@@ -239,8 +240,9 @@ SUITES: dict[str, list[str]] = {
         # round-9 additions: the privacy-audit triple's third member and
         # the web-curation URL-dedup front door
         "t_closeness_audit", "url_canonicalize",
-        # round-10 fold-in (VERDICT r9 #1): the read-from-gold report form
-        "report_rollup_gold",
+        # round-10 fold-in (VERDICT r9 #1, #7): the read-from-gold report
+        # form + the mergeable quantile sketch's accuracy contract
+        "report_rollup_gold", "kll_quantile_sketch",
     ],
     # time-windowed analytics and specialty joins
     "analytic_window_suite": [

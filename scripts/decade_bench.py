@@ -71,6 +71,9 @@ QUERIES = [
     # tables), so its denominator INCLUDES the model build: the printed
     # ratio is Spark-favoring by construction and annotated in the row.
     "report_rollup_gold",
+    # round-10: mergeable quantile sketch (VERDICT r9 #7) — scale-measured
+    # from birth like the rest of the sketch family
+    "kll_quantile_sketch",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
