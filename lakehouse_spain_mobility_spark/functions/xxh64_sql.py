@@ -70,29 +70,106 @@ def _rotl_sql(x: str, r: int) -> str:
     )
 
 
-def xxh64_u64_sql_from(v_expr: str, inner_sql: str, carry_cols: str) -> str:
-    """DuckDB SQL producing column ``h_u`` = XXH64(v, seed 42) as UBIGINT.
+def xxh64_u64_sql_from(
+    v_expr: str, inner_sql: str, carry_cols: str, seed_col: str | None = None
+) -> str:
+    """DuckDB SQL producing column ``h_u`` = XXH64(v, seed) as UBIGINT.
 
     ``inner_sql`` is the FROM-able relation text providing ``v_expr``
     (a BIGINT; NULL hashes to the bare seed, matching Spark's
     null-field-skipped semantics); ``carry_cols`` are passthrough columns
     kept alongside. Each algorithm step is one subquery level.
+
+    ``seed_col`` (round 10): name of a UBIGINT column in ``inner_sql``
+    providing a PER-ROW seed — the hook that makes Spark's multi-column
+    ``xxhash64(a, b)`` replayable, since Spark chains columns by feeding
+    each field's hash in as the next field's seed
+    (``XxHash64Function.hash``). None keeps the constant seed 42 with
+    its precomputed init.
     """
+    if seed_col is None:
+        init = f"{_INIT}::UBIGINT"
+        null_h = f"{_SEED}::UBIGINT"
+        carry_in = carry_cols
+    else:
+        # init = (seed + P5 + 8) mod 2^64, seed itself already < 2^64
+        init = (
+            f"CAST((__seed::HUGEINT + {(_P5 + 8) % _M}) % {_M_LIT} AS UBIGINT)"
+        )
+        null_h = "__seed"
+        carry_in = f"{carry_cols}, {seed_col} AS __seed"
+        carry_cols = f"{carry_cols}, __seed"
+    # internal step aliases are __-prefixed so they can never collide
+    # with carried caller columns (the pair form carries the second input
+    # through the first hash's subquery chain)
     u0 = (
         f"CAST(((COALESCE({v_expr}, 0))::HUGEINT % {_M_LIT} + {_M_LIT}) "
         f"% {_M_LIT} AS UBIGINT)"
     )
-    s1 = f"SELECT {carry_cols}, ({v_expr}) IS NULL AS v_null, {u0} AS u FROM ({inner_sql})"
-    s2 = f"SELECT {carry_cols}, v_null, {_wmul('u', _P2)} AS a FROM ({s1})"
-    s3 = f"SELECT {carry_cols}, v_null, {_rotl_sql('a', 31)} AS b FROM ({s2})"
-    s4 = f"SELECT {carry_cols}, v_null, xor({_INIT}::UBIGINT, {_wmul('b', _P1)}) AS h1 FROM ({s3})"
+    s1 = f"SELECT {carry_in}, ({v_expr}) IS NULL AS __vnull, {u0} AS __u FROM ({inner_sql})"
+    s2 = f"SELECT {carry_cols}, __vnull, {_wmul('__u', _P2)} AS __a FROM ({s1})"
+    s3 = f"SELECT {carry_cols}, __vnull, {_rotl_sql('__a', 31)} AS __b FROM ({s2})"
+    s4 = f"SELECT {carry_cols}, __vnull, xor({init}, {_wmul('__b', _P1)}) AS __h1 FROM ({s3})"
     s5 = (
-        f"SELECT {carry_cols}, v_null, CAST(({_wmul(_rotl_sql('h1', 27), _P1)}::HUGEINT "
-        f"+ {_P4}) % {_M_LIT} AS UBIGINT) AS h2 FROM ({s4})"
+        f"SELECT {carry_cols}, __vnull, CAST(({_wmul(_rotl_sql('__h1', 27), _P1)}::HUGEINT "
+        f"+ {_P4}) % {_M_LIT} AS UBIGINT) AS __h2 FROM ({s4})"
     )
-    s6 = f"SELECT {carry_cols}, v_null, {_wmul('xor(h2, h2 >> 33)', _P2)} AS h3 FROM ({s5})"
-    s7 = f"SELECT {carry_cols}, v_null, {_wmul('xor(h3, h3 >> 29)', _P3)} AS h4 FROM ({s6})"
+    s6 = f"SELECT {carry_cols}, __vnull, {_wmul('xor(__h2, __h2 >> 33)', _P2)} AS __h3 FROM ({s5})"
+    s7 = f"SELECT {carry_cols}, __vnull, {_wmul('xor(__h3, __h3 >> 29)', _P3)} AS __h4 FROM ({s6})"
     return (
-        f"SELECT {carry_cols}, CASE WHEN v_null THEN {_SEED}::UBIGINT "
-        f"ELSE xor(h4, h4 >> 32) END AS h_u FROM ({s7})"
+        f"SELECT {carry_cols}, CASE WHEN __vnull THEN {null_h} "
+        f"ELSE xor(__h4, __h4 >> 32) END AS h_u FROM ({s7})"
     )
+
+
+def xxh64_pair_u64_sql_from(
+    a_expr: str, b_expr: str, inner_sql: str, carry_cols: str
+) -> str:
+    """DuckDB SQL producing ``h_u`` = Spark's ``xxhash64(a, b)`` over two
+    BIGINT columns as UBIGINT: field hashes chain as seeds —
+    ``hash(b, hash(a, 42))`` (Spark ``XxHash64``'s fold over fields)."""
+    first = xxh64_u64_sql_from(a_expr, inner_sql, f"{carry_cols}, {b_expr}")
+    # rename the first hash so the second pass can both seed from it and
+    # drop it from the carry
+    mid = f"SELECT {carry_cols}, {b_expr}, h_u AS __hseed FROM ({first})"
+    second = xxh64_u64_sql_from(b_expr, mid, carry_cols, seed_col="__hseed")
+    return second
+
+
+def xxh64_pair_long(a: int, b: int) -> int:
+    """Driver-side reference of Spark's ``xxhash64(a, b)`` (signed)."""
+    h1 = xxh64_long(a)
+    return xxh64_long(b, h1 % _M)
+
+
+def xxh64_pair_np(a, b):
+    """Vectorized numpy twin of Spark's ``xxhash64(a, b)`` for int64
+    arrays — the Python-kernel side of hash parity (uint64 arithmetic
+    wraps mod 2^64 natively, so each step is one array op; pinned
+    against Spark in tests/test_sketches.py)."""
+    import numpy as np
+
+    p1 = np.uint64(_P1)
+    p2 = np.uint64(_P2)
+    p3 = np.uint64(_P3)
+    p4 = np.uint64(_P4)
+
+    def rotl(x, r):
+        return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+    def one(v, seed):
+        h = seed + np.uint64((_P5 + 8) % _M)
+        h = h ^ (rotl(v * p2, 31) * p1)
+        h = rotl(h, 27) * p1 + p4
+        h = h ^ (h >> np.uint64(33))
+        h = h * p2
+        h = h ^ (h >> np.uint64(29))
+        h = h * p3
+        h = h ^ (h >> np.uint64(32))
+        return h
+
+    av = np.asarray(a, dtype=np.int64).astype(np.uint64)
+    bv = np.asarray(b, dtype=np.int64).astype(np.uint64)
+    seed0 = np.full(av.shape, np.uint64(_SEED))
+    h1 = one(av, seed0)
+    return one(bv, h1).astype(np.int64)

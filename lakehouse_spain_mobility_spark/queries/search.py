@@ -218,9 +218,109 @@ register(
 _IDX_TOPK = 50
 _IDX_MASK31 = (1 << 31) - 1
 _IDX_POW31 = 1 << 31
+# 40-bit posting hash (r10: low 40 bits of Spark's xxhash64(doc_id, tf),
+# replacing the md5 hex prefix — same overflow envelope, but computable as
+# ONE vectorized numpy pass in the kernel, native codegen in the
+# relational twin, and exactly replayable in DuckDB via
+# functions/xxh64_sql.xxh64_pair_u64_sql_from)
+_IDX_MASK40 = (1 << 40) - 1
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel form (default since r10): per-BATCH term partials from a
+    mapInPandas kernel, so the postings relation never crosses an
+    exchange.
+
+    The round-9 floor decomposition (PERF.md round 10) measured the
+    sf10 standalone at 2.11 s with this ladder: tokenize+explode 0.44 s,
+    + (term, doc) pair aggregation 1.47 s (THE floor — an 11.6M-group
+    two-level hash aggregate whose exchange Spark requires for
+    correctness), + md5/decimal checksum 0.64 s. But the pair exchange
+    is semantically REDUNDANT on this data layout: a document's tokens
+    never span scan partitions (explode preserves row locality), so the
+    map-side pair counts are already exact. DataFrame groupBy cannot be
+    told that; a mapInPandas kernel CAN exploit it — each Arrow batch
+    of (doc_id, text) rows is tokenized in Python (Counter per doc =
+    the exact tf), each posting is md5-folded into the SAME 40-bit
+    hi/lo checksum the relational form computes, and only per-batch
+    TERM PARTIALS (term, df, tf, hi, lo — vocab-bounded) are emitted.
+    The one exchange then carries |vocab|·n_batches tiny rows. Measured
+    sf10 standalone: 2.11 s → ~0.8 s (PERF.md round 10).
+
+    Output is bit-identical to ``q_inverted_index_relational`` (pinned
+    by test + the unchanged oracle): same split(' ') semantics, same
+    md5("doc:tf") postings hash, same order-free hi/lo sum recombined
+    in DECIMAL(38,0).
+
+    Route choice at 100 TB: per-batch partials are vocab-bounded state —
+    the win whenever |vocab per batch| ≪ |postings per batch| (every
+    natural-language corpus; here 31 ≪ 230k). For adversarial vocab
+    (every token unique — partials degenerate to the postings relation
+    plus Python overhead) the relational form below remains the plan,
+    exactly like pwindow's warn-and-degrade routing."""
+    import pandas as pd
+
+    d = spread(load(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+
+    def batch_partials(batches):
+        from collections import Counter
+
+        import numpy as np
+
+        from lakehouse_spain_mobility_spark.functions.xxh64_sql import (
+            xxh64_pair_np,
+        )
+
+        for pdf in batches:
+            terms: list = []
+            docs: list = []
+            tfs: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                c = Counter(text.split(" "))
+                c.pop("", None)
+                for term, tf in c.items():
+                    terms.append(term)
+                    docs.append(doc_id)
+                    tfs.append(tf)
+            if not terms:
+                continue
+            tf_arr = np.asarray(tfs, dtype=np.int64)
+            # per-posting 40-bit hash, ONE vectorized pass (the md5 form
+            # spent ~0.9 s of kernel wall in 11.6M hashlib calls at sf10;
+            # the numpy xxh64 twin is ~20 array ops total — PERF.md r10)
+            h = xxh64_pair_np(np.asarray(docs, dtype=np.int64), tf_arr) & np.int64(
+                _IDX_MASK40
+            )
+            part = pd.DataFrame(
+                {
+                    "term": terms,
+                    "df": np.ones(len(terms), dtype=np.int64),
+                    "tf": tf_arr,
+                    "hi": h >> np.int64(31),
+                    "lo": h & np.int64(_IDX_MASK31),
+                }
+            ).groupby("term", sort=False, as_index=False).sum()
+            yield part
+
+    partials = d.mapInPandas(
+        batch_partials,
+        "term string, df bigint, tf bigint, hi bigint, lo bigint",
+    )
+    stats = partials.groupBy("term").agg(
+        F.sum("df").cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        (
+            F.sum(F.col("hi").cast("decimal(38,0)")) * F.lit(_IDX_POW31).cast("decimal(38,0)")
+            + F.sum(F.col("lo").cast("decimal(38,0)"))
+        ).cast("string").alias("postings_check"),
+    )
+    top = global_topk(stats, _IDX_TOPK, [F.desc("df"), F.asc("term")])
+    return top.select("rank", "term", "df", "total_tf", "postings_check")
+
+
+def q_inverted_index_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the (few-file) documents scan before the explode: the map
     # side — tokenize + the full (term, doc) partial aggregation — is
     # otherwise serialized into as many tasks as the table has row-group
@@ -239,13 +339,11 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "doc_id")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
-    # 40-bit posting hash (10 md5 hex chars): small enough that the lo/hi
-    # long partials never overflow at any realistic per-term df, exact on
-    # both engines (conv vs 0x-cast, cf. sketches._hex_bigint).
-    h = F.expr(
-        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(doc_id AS STRING), "
-        "CAST(tf AS STRING)) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
-    )
+    # 40-bit posting hash: low 40 bits of xxhash64(doc_id, tf) — small
+    # enough that the lo/hi long partials never overflow at any realistic
+    # per-term df, native codegen here, one numpy pass in the kernel form,
+    # and SQL-replayed in the oracle (functions/xxh64_sql).
+    h = F.xxhash64("doc_id", "tf").bitwiseAND(F.lit(_IDX_MASK40))
     stats = tf.select("term", "tf", h.alias("h")).groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"),
         F.sum("tf").cast("bigint").alias("total_tf"),
@@ -259,18 +357,24 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("rank", "term", "df", "total_tf", "postings_check")
 
 
-_INVIDX_SQL = f"""
-WITH tf AS (
-    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+def _invidx_sql() -> str:
+    from ..functions.xxh64_sql import xxh64_pair_u64_sql_from
+
+    # tf is both a hash input and a carried output; the generator consumes
+    # its b_expr from the carry chain, so it rides along under an alias
+    tf_sql = """
+    SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf, CAST(COUNT(*) AS BIGINT) AS tf_out
     FROM (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ) WHERE term <> ''
     GROUP BY 1, 2
-),
-hashed AS (
-    SELECT term, tf,
-           CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)), 1, 10)) AS BIGINT) AS h
-    FROM tf
+"""
+    hashed_sql = xxh64_pair_u64_sql_from("doc_id", "tf", tf_sql, "term, tf_out")
+    return f"""
+WITH hashed AS (
+    SELECT term, tf_out AS tf,
+           CAST(h_u & {_IDX_MASK40}::UBIGINT AS BIGINT) AS h
+    FROM ({hashed_sql})
 ),
 stats AS (
     SELECT term,
@@ -288,6 +392,9 @@ SELECT rank, term, df, total_tf, postings_check FROM (
 """
 
 
+_INVIDX_SQL = _invidx_sql()
+
+
 register(
     QuerySpec(
         "inverted_index",
@@ -295,6 +402,18 @@ register(
         _INVIDX_SQL,
         "TXT-index,A3",
         False,
-        "Materialized inverted index: per-term df/tf + md5-pinned sorted posting lists, top-50 by df",
+        "Materialized inverted index: per-term df/tf + xxh64-pinned posting-multiset checksums, "
+        "top-50 by df (mapInPandas vocab-partial kernel — postings never cross an exchange)",
+    )
+)
+register(
+    QuerySpec(
+        "inverted_index_relational",
+        q_inverted_index_relational,
+        _INVIDX_SQL,
+        "TXT-index,A3",
+        False,
+        "Relational twin of inverted_index (explode + pair-agg + term-agg): the "
+        "unbounded-vocab route and the kernel form's bit-equality A/B reference",
     )
 )

@@ -74,6 +74,9 @@ QUERIES = [
     # round-10: mergeable quantile sketch (VERDICT r9 #7) — scale-measured
     # from birth like the rest of the sketch family
     "kll_quantile_sketch",
+    # round-10: inverted_index's relational twin (the unbounded-vocab
+    # route) rides along so kernel-vs-relational stays measured at scale
+    "inverted_index_relational",
 ]
 
 # Queries whose plan reads the bucketed ps_lineitem layout (the one-time
@@ -90,6 +93,11 @@ STREAM_EXEC = {
 # DuckDB oracle recomputes the model in-query — the ratio numerator and
 # denominator price different (both legitimate) shapes; machine-annotated.
 AMORTIZED_GOLD = {"report_rollup_gold"}
+# Rows whose oracle recomputes Spark's exact xxhash64 as generated DuckDB
+# SQL (functions/xxh64_sql): the denominator pays a ~14-level arithmetic
+# replay of a hash Spark evaluates natively — a PARITY PROOF, not an
+# engine race (the hll_distinct_x64 precedent, VERDICT r8/r9).
+SQL_REPLAY_ORACLE = {"hll_distinct_x64", "inverted_index", "inverted_index_relational"}
 
 
 # Fresh-process re-timing for the standalone pins: sf30_refresh.py's cold
@@ -395,6 +403,8 @@ def main() -> None:
             # a real StateStore micro-batch execution against a trivial
             # batch denominator — a cost-model note, not an engine defect.
             row["denominator"] = "batch-oracle"
+        if q in SQL_REPLAY_ORACLE:
+            row["denominator"] = "sql-replayed-xxh64"
         if q in AMORTIZED_GOLD:
             row["denominator"] = "recomputes-gold-in-query"
             row["note"] = (

@@ -389,18 +389,24 @@ def test_frequent_itemsets_no_cartesian_single_fact_exchange(spark):
 
 
 def test_inverted_index_all_aggs_partial_no_posting_buffering(spark):
-    """Round-5 shape (the r4 sorted-list md5 serialized each term's whole
-    posting list through ONE task — with a 31-term vocabulary that plan
-    was the measured 3.9x-at-sf10 bottleneck): no collect_list anywhere
-    (the checksum is an order-free SUM that partial-aggregates), no
-    TakeOrdered-bypassing global window, and both aggregations carry
-    map-side partials (partial_count before every exchange)."""
+    """Round-10 kernel shape: the postings relation never crosses an
+    exchange — a MapInPandas emits vocab-bounded per-batch term partials,
+    the ONE exchange carries those partials (map-side partial_sum before
+    it), and the top-50 is TakeOrderedAndProject. No collect_list
+    anywhere (the checksum is an order-free SUM)."""
     df = REG["inverted_index"].build(spark, SF_DIR_ORACLE)
     plan = pi.executed_plan(df)
     lower = plan.lower()
     assert "collect_list" not in lower, plan[:2000]
     assert "TakeOrderedAndProject" in plan, plan[:2000]
-    assert "partial_count" in lower, plan[:2000]
+    assert "mapinpandas" in lower, plan[:2000]
+    assert "partial_sum" in lower, plan[:2000]
+    # the relational twin (unbounded-vocab route) keeps the round-5
+    # contract: pair agg with map-side partials, no posting buffering
+    df2 = REG["inverted_index_relational"].build(spark, SF_DIR_ORACLE)
+    plan2 = pi.executed_plan(df2)
+    assert "collect_list" not in plan2.lower(), plan2[:2000]
+    assert "partial_count" in plan2.lower(), plan2[:2000]
 
 
 def test_join_size_estimate_sketch_joins_bounded(spark):

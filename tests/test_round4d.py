@@ -165,15 +165,20 @@ def test_inverted_index_postings_checksum(spark):
             tf[r["doc_id"]] = k
     assert top["df"] == len(tf)
     assert top["total_tf"] == sum(tf.values())
-    # round-5 contract: order-free checksum — SUM over postings of the
-    # 40-bit md5 prefix of "doc:tf" (pins the posting multiset while
-    # partial-aggregating map-side; the sorted-string md5 serialized each
-    # term's whole posting list through one task)
+    # round-5 contract, r10 hash: order-free checksum — SUM over postings
+    # of the low 40 bits of xxhash64(doc_id, tf) (pins the posting
+    # multiset while partial-aggregating map-side; md5's hex-string fold
+    # was the measured 0.6-0.9 s slice of the sf10 ladder on BOTH the
+    # codegen and kernel paths — PERF.md round 10)
+    from lakehouse_spain_mobility_spark.functions.xxh64_sql import xxh64_pair_long
+
     check = sum(
-        int(hashlib.md5(f"{doc}:{k}".encode()).hexdigest()[:10], 16)
-        for doc, k in tf.items()
+        xxh64_pair_long(doc, k) & ((1 << 40) - 1) for doc, k in tf.items()
     )
     assert top["postings_check"] == str(check)
+    # and the kernel form is bit-identical to the relational twin
+    rel = REG["inverted_index_relational"].build(spark, SF_DIR_SMALL).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rel]
     # df ordering is the ranking contract
     dfs = [r["df"] for r in rows]
     assert dfs == sorted(dfs, reverse=True)

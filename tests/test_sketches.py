@@ -65,6 +65,49 @@ def test_xxh64_sql_matches_spark_xxhash64(spark):
         assert h_u == got[i] % M, (vals[i], h_u, got[i])
 
 
+def test_xxh64_pair_matches_spark_two_column_hash(spark):
+    """Round-10 generalization: Spark's xxhash64(a, b) chains field hashes
+    as seeds. Pin the FOUR-way agreement — Spark builtin, driver Python
+    model, vectorized numpy twin (the inverted_index kernel's hash), and
+    the seeded DuckDB SQL generator — over sign-covering pairs + NULLs
+    (a null field leaves the running hash untouched in Spark)."""
+    import duckdb
+    import numpy as np
+
+    from lakehouse_spain_mobility_spark.functions.xxh64_sql import (
+        xxh64_pair_long,
+        xxh64_pair_np,
+        xxh64_pair_u64_sql_from,
+    )
+
+    pairs = [(0, 0), (1, 1), (-1, 5), (2**62, -(2**62)), (42, 42),
+             (2**63 - 1, -(2**63) + 1), (999, 1000)] + [
+        ((7919 * k) ** 3 % (2**63) - 2**62, (104729 * k) ** 3 % (2**63) - 2**62)
+        for k in range(1, 40)
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "i int, a long, b long"
+    )
+    got = {r["i"]: r["h"] for r in df.select("i", F.xxhash64("a", "b").alias("h")).collect()}
+    exp = [xxh64_pair_long(a, b) for a, b in pairs]
+    assert [got[i] for i in range(len(pairs))] == exp
+    np_h = xxh64_pair_np(
+        np.array([p[0] for p in pairs]), np.array([p[1] for p in pairs])
+    )
+    assert list(np_h) == exp
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+                   for i, (a, b) in enumerate(pairs))
+        + ") AS x(i, a, b)"
+    )
+    sql = xxh64_pair_u64_sql_from("a", "b", "SELECT i, a, b FROM t", "i")
+    M = 1 << 64
+    for i, h_u in con.execute(f"SELECT i, h_u FROM ({sql})").fetchall():
+        assert h_u == exp[i] % M, (pairs[i], h_u, exp[i])
+
+
 def test_hll_x64_estimate_within_sketch_error(spark):
     rows = REG["hll_distinct_x64"].build(spark, SF_DIR_ORACLE).collect()
     assert len(rows) == 5
