@@ -43,17 +43,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# 48-bit content hash: md5 hex chars 1-12, the family convention
-# (cf. queries/sketches._hex_bigint — exact BIGINT in both engines).
+# 48-bit content hash: low 48 bits of Spark's native xxhash64. The md5
+# hex-prefix convention (queries/sketches.py) costs a ~6-op string chain
+# per row in codegen — measured +0.63 s on the sf10 sample pass vs this
+# one intrinsic (PERF.md round 10); the DuckDB twin replays the exact
+# xxh64 arithmetic via functions/xxh64_sql (the hll_distinct_x64
+# precedent — the oracle pays a parity-proof replay, flagged in the
+# decade row, while both engines agree bit-for-bit).
 HASH_BITS = 48
 
 
 def content_hash48(id_col: Column) -> Column:
-    """48-bit uniform hash of a row identity, md5-based so the DuckDB twin
-    replays it exactly (queries/sketches.py family convention)."""
-    return F.conv(
-        F.substring(F.md5(id_col.cast("string").cast("binary")), 1, 12), 16, 10
-    ).cast("bigint")
+    """48-bit uniform hash of a BIGINT row identity: xxhash64 & (2^48-1),
+    native codegen here, exactly replayable in DuckDB SQL."""
+    return F.xxhash64(id_col).bitwiseAND(F.lit((1 << HASH_BITS) - 1))
 
 
 def level_for(n: Column, k: int) -> Column:

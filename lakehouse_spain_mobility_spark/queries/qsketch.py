@@ -82,31 +82,63 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # accuracy contract: exact rank of the estimated value in the FULL
     # group, under the same (value, event_id) total order the sample rank
-    # used — one conditional-aggregation scan with the 15-row probe table
-    # broadcast
-    truth = (
-        base.join(
-            F.broadcast(picks.select("event_type", "q_pct", "est_value", "est_id")),
-            "event_type",
-        )
-        .groupBy("event_type", "q_pct")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("value") < F.col("est_value"))
+    # used. LITERAL-PROBE form (r10, the dsir literal-map idiom): the 15
+    # picks are collected at BUILD time (eager-build contract, see the
+    # QuerySpec description) and become 15 conditional sums over ONE
+    # un-amplified scan — the probe-join form generated 3× the fact as
+    # join output before its partial aggregation, the measured ~2 s slice
+    # of the sf10 ladder (PERF.md round 10). The oracle keeps the join
+    # form (values identical; DuckDB's hash join doesn't pay the
+    # amplification the same way).
+    pk = picks.collect()
+    pk.sort(key=lambda r: (r["event_type"], r["q_pct"]))
+    conds = [
+        F.sum(
+            (
+                (F.col("event_type") == r["event_type"])
+                & (
+                    (F.col("value") < F.lit(float(r["est_value"])))
                     | (
-                        (F.col("value") == F.col("est_value"))
-                        & (F.col("event_id") <= F.col("est_id"))
-                    ),
-                    1,
-                ).otherwise(0)
+                        (F.col("value") == F.lit(float(r["est_value"])))
+                        & (F.col("event_id") <= F.lit(int(r["est_id"])))
+                    )
+                )
+            ).cast("long")
+        ).alias(f"tr_{i}")
+        for i, r in enumerate(pk)
+    ]
+    truth = base.agg(*conds).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r["event_type"]).alias("event_type"),
+                        F.lit(int(r["q_pct"])).alias("q_pct"),
+                        F.col(f"tr_{i}").cast("bigint").alias("true_rank"),
+                    )
+                    for i, r in enumerate(pk)
+                ]
             )
-            .cast("bigint")
-            .alias("true_rank")
-        )
+        ).alias("t")
+    ).select("t.*")
+    picks_lit = spark.createDataFrame(
+        [
+            (
+                r["event_type"],
+                int(r["q_pct"]),
+                int(r["n"]),
+                int(r["lvl"]),
+                int(r["n_sampled"]),
+                int(r["target_rank"]),
+                float(r["est_value"]),
+            )
+            for r in pk
+        ],
+        "event_type string, q_pct int, n bigint, lvl int, n_sampled bigint, "
+        "target_rank bigint, est_value double",
     )
     return (
-        picks.join(truth, ["event_type", "q_pct"])
+        picks_lit.join(truth, ["event_type", "q_pct"])
         .select(
             "event_type",
             F.col("q_pct").cast("int").alias("q_pct"),
@@ -129,7 +161,19 @@ def q_kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _qsketch_sql() -> str:
+    from ..functions.xxh64_sql import xxh64_u64_sql_from
+
     probes = ", ".join(f"({pct}, CAST({q} AS DOUBLE))" for pct, q in _QS_PCTS)
+    # the content hash is Spark's native xxhash64 (low 48 bits) — the
+    # oracle replays it as generated SQL (hll_distinct_x64 precedent;
+    # the replay is a parity proof, and the decade row's denominator is
+    # flagged accordingly)
+    hashed = xxh64_u64_sql_from(
+        "event_id",
+        "SELECT b.event_type, b.event_id, b.value, l.n, l.lvl "
+        "FROM base b JOIN lv l USING (event_type)",
+        "event_type, event_id, value, n, lvl",
+    )
     return f"""
 WITH base AS (
     SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
@@ -146,11 +190,11 @@ lv AS (
           FROM sizes)
 ),
 sampled AS (
-    SELECT b.event_type, b.event_id, b.value, l.n, l.lvl,
-           CAST(POW(2, l.lvl) AS BIGINT) AS weight
-    FROM base b JOIN lv l USING (event_type)
-    WHERE (CAST(concat('0x', substring(md5(CAST(b.event_id AS VARCHAR)), 1, 12)) AS BIGINT)
-           & (CAST(POW(2, l.lvl) AS BIGINT) - 1)) = 0
+    SELECT event_type, event_id, value, n, lvl,
+           CAST(POW(2, lvl) AS BIGINT) AS weight
+    FROM ({hashed})
+    WHERE (CAST(h_u & {(1 << 48) - 1}::UBIGINT AS BIGINT)
+           & (CAST(POW(2, lvl) AS BIGINT) - 1)) = 0
 ),
 ranked AS (
     SELECT event_type, event_id, value, n, lvl,

@@ -97,7 +97,10 @@ AMORTIZED_GOLD = {"report_rollup_gold"}
 # SQL (functions/xxh64_sql): the denominator pays a ~14-level arithmetic
 # replay of a hash Spark evaluates natively — a PARITY PROOF, not an
 # engine race (the hll_distinct_x64 precedent, VERDICT r8/r9).
-SQL_REPLAY_ORACLE = {"hll_distinct_x64", "inverted_index", "inverted_index_relational"}
+SQL_REPLAY_ORACLE = {
+    "hll_distinct_x64", "inverted_index", "inverted_index_relational",
+    "kll_quantile_sketch",
+}
 
 
 # Fresh-process re-timing for the standalone pins: sf30_refresh.py's cold
