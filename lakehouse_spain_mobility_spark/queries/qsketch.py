@@ -251,6 +251,9 @@ register(
         False,
         "Mergeable quantile sketch (KLL-shape hash-geometric level sample): "
         "p50/p90/p99 per event_type from ~256-row state with exact true-rank "
-        "accuracy contract (rank_err_ppm vs target rank)",
+        "accuracy contract (rank_err_ppm vs target rank). EAGER BUILD: "
+        "constructing the DataFrame runs the sizes+sample+picks jobs and "
+        "freezes the 15 probes as literals for the truth pass (the dsir "
+        "literal-map contract — see q_kll_quantile_sketch)",
     )
 )

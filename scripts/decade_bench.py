@@ -138,6 +138,12 @@ import duckdb
 from lakehouse_spain_mobility_spark.queries import load_all
 from lakehouse_spain_mobility_spark.queries.tables import TABLE_NAMES
 con = duckdb.connect()
+duck_tmp = os.environ.get("DECADE_DUCK_TMP")
+if duck_tmp:  # same disk budget as the in-chain oracle connection
+    os.makedirs(duck_tmp, exist_ok=True)
+    con.execute("SET temp_directory='" + duck_tmp + "'")
+    con.execute("SET max_temp_directory_size='"
+                + os.environ.get("DECADE_DUCK_TMPCAP", "40GiB") + "'")
 sf_dir = {sf_dir!r}
 for t in TABLE_NAMES:
     path = sf_dir + "/" + t + ".parquet"
@@ -268,6 +274,19 @@ def main() -> None:
         spark.stop()
 
         con = duckdb.connect()
+        # DECADE_DUCK_TMP: a disk BUDGET for the oracle side (VERDICT r9
+        # #6 — frequent_itemsets' sf10 row went ratio-less on an operator
+        # "No space left on device" instead of a measured verdict). With a
+        # temp dir + size cap, an oracle that out-spills the budget raises
+        # a DuckDB error that lands in the row as a DNF note naming the
+        # budget, and can never take the host's disk (or the rest of the
+        # run) with it.
+        duck_tmp = os.environ.get("DECADE_DUCK_TMP")
+        if duck_tmp:
+            os.makedirs(duck_tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{duck_tmp}'")
+            cap = os.environ.get("DECADE_DUCK_TMPCAP", "40GiB")
+            con.execute(f"SET max_temp_directory_size='{cap}'")
         for t in TABLE_NAMES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
