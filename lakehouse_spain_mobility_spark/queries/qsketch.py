@@ -174,6 +174,21 @@ def _qsketch_sql() -> str:
         "FROM base b JOIN lv l USING (event_type)",
         "event_type, event_id, value, n, lvl",
     )
+    # PUSHDOWN BARRIER (measured, round 10): a WHERE over the chain's h_u
+    # gets pushed down through the 14 projection levels by substitution —
+    # each level references its input 2-3×, so the inlined predicate
+    # explodes exponentially (sf1: 166 s vs 0.94 s for the bare chain;
+    # AS MATERIALIZED helped only fragilely). A window column blocks the
+    # pushdown LEGALLY — a filter on non-partition columns cannot move
+    # below a window without changing its input set — so the sample
+    # predicate references ``_b`` = MIN(lvl) OVER (PARTITION BY
+    # event_type), which is identically ``lvl`` (constant per group) but
+    # forces the filter to stay above the window: sf1 1.77 s.
+    barrier = (
+        "SELECT event_type, event_id, value, n, lvl, h_u, "
+        "MIN(lvl) OVER (PARTITION BY event_type) AS _b "
+        f"FROM ({hashed})"
+    )
     return f"""
 WITH base AS (
     SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
@@ -192,9 +207,9 @@ lv AS (
 sampled AS (
     SELECT event_type, event_id, value, n, lvl,
            CAST(POW(2, lvl) AS BIGINT) AS weight
-    FROM ({hashed})
+    FROM ({barrier})
     WHERE (CAST(h_u & {(1 << 48) - 1}::UBIGINT AS BIGINT)
-           & (CAST(POW(2, lvl) AS BIGINT) - 1)) = 0
+           & (CAST(POW(2, _b) AS BIGINT) - 1)) = 0
 ),
 ranked AS (
     SELECT event_type, event_id, value, n, lvl,
