@@ -28,14 +28,35 @@ HEX = "0123456789abcdef"
 
 # --- shingling --------------------------------------------------------------
 def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word-k-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word-k-gram shingles per document: (doc_id, shingle).
+
+    Precondition: ``id_col`` is unique in ``df`` (one row per document —
+    true for every call site; the documents table's primary key). Under
+    it, (doc_id, shingle) duplicates can only arise WITHIN one row's
+    shingle array, so ``array_distinct`` before the explode is exactly
+    ``.distinct()`` after it — minus the full shuffle of the exploded
+    corpus that ``.distinct()`` costs (guide §2.4 "remove shuffles
+    outright": the dedup is done map-side where the document's tokens
+    already sit). The ``spread`` keeps what that shuffle was accidentally
+    buying: scan parallelism (the sf0.1 documents table is ONE row group,
+    so without it the normalize+explode ran on one core; the conditional
+    repartition moves only the compact pre-explode rows and is a no-op on
+    a many-split production corpus). Measured round 10 (same-session
+    sf0.1 A/B, noop sink): shingles alone 0.92→0.47 s; per-consumer pins
+    in OPTIMIZATION_r10.md. At 100 TB this deletes a corpus-wide exchange
+    per call.
+    """
+    from ..queries.tables import spread
+
     norm = ta.normalize_text(F.col(text_col))
-    toks = df.select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("tokens"))
+    base = spread(df, df.sparkSession)
+    toks = base.select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("tokens"))
     toks = toks.filter(F.size("tokens") >= k)
     sh = F.expr(
-        f"transform(sequence(0, size(tokens)-{k}), i -> concat_ws(' ', slice(tokens, i+1, {k})))"
+        f"array_distinct(transform(sequence(0, size(tokens)-{k}),"
+        f" i -> concat_ws(' ', slice(tokens, i+1, {k}))))"
     )
-    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return toks.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def sql_shingles(table: str, id_col: str, text_col: str, k: int = 3) -> str:
@@ -118,6 +139,82 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
     return (
         inter.join(s1, "d1")
         .join(s2, "d2")
+        .select("d1", "d2", "intersection", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def posting_lists(sh: DataFrame, max_df: int) -> DataFrame:
+    """df-capped posting lists: one row per kept shingle with the sorted
+    doc_id list (length <= ``max_df``) — ONE hash aggregation on shingle.
+
+    This replaces the two-step ``df_capped_shingles`` + self-join shape
+    for pair generation: the df cap that makes the Jaccard join linear
+    also bounds every posting list at ``max_df`` doc_ids, so candidate
+    pairs can be ENUMERATED inside the aggregated row (<= max_df²/2
+    structs) instead of discovered by shuffling the exploded corpus twice
+    more through an equi-join (guide §2.3/§2.4: aggregate before you
+    shuffle; the posting row is the map-side-collapsed form of the whole
+    per-shingle join group). collect_list order is irrelevant — pair
+    enumeration orders by value (d1 < d2). Scale-safe by the same cap
+    argument as the join form: group state is <= max_df ids.
+    """
+    return (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= max_df)
+    )
+
+
+def posting_pair_counts(post: DataFrame) -> DataFrame:
+    """(d1, d2, intersection) from posting lists: enumerate each ordered
+    pair (d1 < d2) within every posting row, then one count aggregation.
+    Exactly the rows the capped shingle self-join produces, one exchange
+    cheaper and with the pair fan-out bounded per row by the df cap."""
+    pair = F.expr(
+        "flatten(transform(docs,"
+        " x -> transform(filter(docs, y -> y > x),"
+        " y -> struct(x AS d1, y AS d2))))"
+    )
+    return (
+        post.select(F.explode(pair).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("intersection"))
+    )
+
+
+def capped_sizes(post: DataFrame) -> DataFrame:
+    """Per-doc count of df-capped shingles from the posting lists
+    (= ``capped.groupBy(doc_id).count()`` of the join form)."""
+    return (
+        post.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def capped_jaccard_pairs(
+    sh: DataFrame, max_df: int, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Fused ``df_capped_shingles`` + ``jaccard_pairs``: identical output
+    (same columns, same doubles), built from bounded posting lists.
+
+    Plan shape: groupBy(shingle) -> map-side pair enumeration ->
+    groupBy(d1,d2), plus a broadcast of the per-doc sizes — 3 exchanges
+    where the join form pays ~7 (cap groupBy, semi-join, two self-join
+    shuffles, pair groupBy, sizes groupBy, sizes joins)."""
+    post = posting_lists(sh, max_df).localCheckpoint(eager=False)
+    inter = posting_pair_counts(post)
+    sizes = capped_sizes(post)
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    j = F.col("intersection").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("intersection")
+    )
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
         .select("d1", "d2", "intersection", j.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -31,11 +31,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 over df-capped shingles
     (≥ 0.5 is the planted near-dup threshold in the corpus)."""
     d = load(spark, sf_dir, "documents")
-    # multiple consumers of the shingle frame (df counts, sizes, both join
-    # sides): materialize once instead of re-exploding the corpus per use
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
-    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
-    return dd.jaccard_pairs(capped, min_jaccard=0.5)
+    # r10: fused posting-list form — the shingle frame has ONE consumer
+    # (the posting aggregation), so no checkpoint; pair generation happens
+    # inside the aggregated rows instead of a second+third shuffle of the
+    # exploded corpus (operators/dedup.py:capped_jaccard_pairs).
+    sh = dd.shingles(d, "doc_id", "text")
+    return dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
 
 
 _CAPPED_SHINGLES_SQL = dd.sql_df_capped_shingles(_SHINGLES_SQL, MAX_SHINGLE_DF)
@@ -89,12 +90,22 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators import text_analysis as ta
 
+    from .tables import spread
+
     d = load(spark, sf_dir, "documents")
     exact_keep = dd.exact_dedup_groups(d, "doc_id", "text").select(
         F.col("keep_doc_id").alias("doc_id")
     )
     docs_kept = d.join(exact_keep, "doc_id", "left_semi")
-    sh = dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=False)
+    # Eager checkpoint, then spread: docs_kept is a post-shuffle frame that
+    # AQE coalesces to ~1 partition at this data size, so the exploded
+    # shingle frame (and every stage reading the checkpoint) would run
+    # serial. spread() needs the REAL partition count, which only exists
+    # after materialization — eager first, then the (conditional, no-op at
+    # scale) repartition of the materialized rows (guide §2.5 input skew).
+    sh = spread(
+        dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=True), spark
+    )
     cands = (
         dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
         .select("d1", "d2")
@@ -163,8 +174,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
-    edges = dd.jaccard_pairs(dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5)
+    sh = dd.shingles(d, "doc_id", "text")
+    edges = dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
     cc = connected_components(edges.select("d1", "d2"))
     return (
         cc.groupBy("component")
@@ -264,12 +275,11 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
-    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
     # Both pair sets feed two consumers each (their own COUNT and the hits
-    # semi-join): checkpoint so the Jaccard self-join and the full
+    # semi-join): checkpoint so the Jaccard posting pass and the full
     # MinHash/band pipeline run once, not twice.
     truth = (
-        dd.jaccard_pairs(capped, min_jaccard=0.5)
+        dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
         .select("d1", "d2")
         .localCheckpoint(eager=False)
     )
@@ -338,23 +348,19 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
-    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = capped.select(F.col("doc_id").alias("d1"), "shingle")
-    b = capped.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("intersection"))
-    )
+    # r10: same fused posting-list shape as capped_jaccard_pairs — one
+    # groupBy(shingle), pair enumeration inside the bounded posting rows,
+    # one pair count, broadcast sizes (guide §2.3/§2.4).
+    sh = dd.shingles(d, "doc_id", "text")
+    post = dd.posting_lists(sh, MAX_SHINGLE_DF).localCheckpoint(eager=False)
+    inter = dd.posting_pair_counts(post)
+    sizes = dd.capped_sizes(post)
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     cont = F.col("intersection").cast("double") / F.least("n1", "n2").cast("double")
     return (
-        inter.join(s1, "d1")
-        .join(s2, "d2")
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
         .filter(cont >= 0.8)
         .select("d1", "d2", "intersection", micro(cont).alias("containment_ppm"))
     )

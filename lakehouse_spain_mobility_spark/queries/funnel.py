@@ -63,9 +63,13 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep_first.select("doc_id"), "doc_id", "left_semi"
     ).localCheckpoint(eager=True)
 
-    sh = dd.shingles(exact, "doc_id", "text").localCheckpoint(eager=True)
-    capped = dd.df_capped_shingles(sh, MAX_SHINGLE_DF)
-    pairs = dd.jaccard_pairs(capped, min_jaccard=0.5).select("d2").distinct()
+    pairs = (
+        dd.capped_jaccard_pairs(
+            dd.shingles(exact, "doc_id", "text"), MAX_SHINGLE_DF, min_jaccard=0.5
+        )
+        .select("d2")
+        .distinct()
+    )
     fuzzy = exact.join(
         pairs.select(F.col("d2").alias("doc_id")), "doc_id", "left_anti"
     ).localCheckpoint(eager=True)

@@ -513,3 +513,42 @@ def test_bitext_single_scoring_pass(spark):
     # the optimized-logical and the AQE final tree re-print a reused
     # stage's subtree once per consuming branch — ADVICE r7.)
     assert "ReusedExchange" in plan, plan[:3000]
+
+
+def test_shingles_array_distinct_equals_global_distinct(spark):
+    """r10 shingle rewrite contract: array_distinct-before-explode must
+    return exactly the rows of the old explode-then-.distinct() form
+    (valid because doc_id is unique per input row), with no exchange
+    between the scan-side project and the explode."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.operators import text_analysis as ta
+
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    new = dd.shingles(d, "doc_id", "text")
+    norm = ta.normalize_text(F.col("text"))
+    toks = d.select(F.col("doc_id"), F.split(norm, " ").alias("tokens")).filter(
+        F.size("tokens") >= 3
+    )
+    old_sh = F.expr(
+        "transform(sequence(0, size(tokens)-3), i -> concat_ws(' ', slice(tokens, i+1, 3)))"
+    )
+    old = toks.select("doc_id", F.explode(old_sh).alias("shingle")).distinct()
+    assert sorted(new.collect()) == sorted(old.collect())
+
+
+def test_capped_jaccard_pairs_equals_join_form(spark):
+    """r10 fused posting-list Jaccard contract: identical rows (incl. the
+    double jaccard value bit-for-bit) to the df_capped_shingles +
+    jaccard_pairs join form it replaced."""
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.queries.dedup import MAX_SHINGLE_DF
+
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    fused = dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
+    join_form = dd.jaccard_pairs(
+        dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5
+    )
+    assert sorted(fused.collect()) == sorted(join_form.collect())
