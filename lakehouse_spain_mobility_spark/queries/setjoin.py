@@ -73,7 +73,12 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "replicas")
         .localCheckpoint(eager=True)
     )
-    rep_docs = d.join(reps.select("doc_id"), "doc_id")
+    # Broadcast the representative-id filter: the query already assumes a
+    # broadcastable reps relation (the accounting joins below broadcast
+    # ra/rb), and the broadcast keeps the big side's scan partitioning for
+    # the tokenize stage instead of shuffling the raw texts by doc_id
+    # (guide §3.1). r10 same-session A/B: 5.05 -> 4.87 s.
+    rep_docs = d.join(F.broadcast(reps.select("doc_id")), "doc_id")
     # 3-gram word shingles (the dedup family's discriminative unit —
     # unigram sets over a bounded vocabulary make every pair look similar).
     toks = shingles(rep_docs, "doc_id", "text").select(
@@ -96,12 +101,32 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"CAST(CEIL({_T_NUM}.0 * n / {_T_DEN}.0) AS INT)")
         + F.lit(1)
     )
-    prefix = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "term", "n")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "term", "pos", "n"
+    )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "term", F.col("n").alias("n_a")
+        F.col("doc_id").alias("doc_a"),
+        "term",
+        F.col("pos").alias("pos_a"),
+        F.col("n").alias("n_a"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "term", F.col("n").alias("n_b")
+        F.col("doc_id").alias("doc_b"),
+        "term",
+        F.col("pos").alias("pos_b"),
+        F.col("n").alias("n_b"),
+    )
+    # PPJoin positional filter (Xiao et al., WWW 2008 §3.2): a match at
+    # df-order positions (pos_a, pos_b) bounds the achievable overlap at
+    # 1 + min(n_a - pos_a, n_b - pos_b); Jaccard >= t needs overlap >=
+    # alpha = ceil(t/(1+t)·(n_a+n_b)). Recall is intact because for any
+    # qualifying pair the globally-smallest shared token is a
+    # prefix-prefix match (the prefix-length lemma) and at that match the
+    # bound >= the true overlap >= alpha. Exact integer arithmetic:
+    # ceil(p/q) = -((-p) div q). r10 measured: candidates 193k -> 76k,
+    # final rows unchanged (241), full query 7.44 -> 5.05 s same-session.
+    alpha = F.expr(
+        f"CAST(-((-({_T_NUM} * (n_a + n_b))) DIV ({_T_NUM} + {_T_DEN})) AS INT)"
     )
     cand = (
         a.join(b, "term")
@@ -109,6 +134,11 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.least("n_a", "n_b") * F.lit(_T_DEN)
             >= F.lit(_T_NUM) * F.greatest("n_a", "n_b")
+        )
+        .filter(
+            F.lit(1)
+            + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+            >= alpha
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
         .distinct()

@@ -552,3 +552,21 @@ def test_capped_jaccard_pairs_equals_join_form(spark):
         dd.df_capped_shingles(sh, MAX_SHINGLE_DF), min_jaccard=0.5
     )
     assert sorted(fused.collect()) == sorted(join_form.collect())
+
+
+def test_prefix_filter_positional_filter_preserves_output(spark):
+    """r10 PPJoin positional-filter contract: the candidate prune
+    (1 + min(n_a-pos_a, n_b-pos_b) >= alpha) must not change the verified
+    pair set — recall holds because the globally-smallest shared token of
+    any qualifying pair is a prefix-prefix match."""
+    from lakehouse_spain_mobility_spark.queries import load_all
+
+    spec = load_all()["prefix_filter_join"]
+    got = sorted(spec.build(spark, SF_DIR_ORACLE).collect())
+    import duckdb
+
+    from lakehouse_spain_mobility_spark.oracle import duckdb_connection
+
+    con = duckdb_connection(SF_DIR_ORACLE)
+    want = sorted(con.execute(spec.oracle).fetchall())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
