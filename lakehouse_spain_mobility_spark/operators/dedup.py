@@ -27,8 +27,17 @@ HEX = "0123456789abcdef"
 
 
 # --- shingling --------------------------------------------------------------
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word-k-gram shingles per document: (doc_id, shingle).
+def shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct word-k-gram shingles per document: (doc_id, shingle),
+    plus any ``extra`` passthrough columns of ``df`` (constant per doc —
+    carrying them through the explode is free and saves the join-back a
+    consumer would otherwise pay).
 
     Precondition: ``id_col`` is unique in ``df`` (one row per document —
     true for every call site; the documents table's primary key). Under
@@ -50,13 +59,17 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
 
     norm = ta.normalize_text(F.col(text_col))
     base = spread(df, df.sparkSession)
-    toks = base.select(F.col(id_col).alias("doc_id"), F.split(norm, " ").alias("tokens"))
+    toks = base.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in extra],
+        F.split(norm, " ").alias("tokens"),
+    )
     toks = toks.filter(F.size("tokens") >= k)
     sh = F.expr(
         f"array_distinct(transform(sequence(0, size(tokens)-{k}),"
         f" i -> concat_ws(' ', slice(tokens, i+1, {k}))))"
     )
-    return toks.select("doc_id", F.explode(sh).alias("shingle"))
+    return toks.select("doc_id", *extra, F.explode(sh).alias("shingle"))
 
 
 def sql_shingles(table: str, id_col: str, text_col: str, k: int = 3) -> str:

@@ -582,15 +582,27 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text").join(
-        d.select("doc_id", "lang"), "doc_id"
+    # r10: lang rides through the explode (no join-back), and the
+    # (shingle -> langs) posting aggregation computes the md5 ONCE per
+    # distinct shingle instead of once per (doc, shingle) row; the exact
+    # per-lang distinct count falls out of the same aggregation without a
+    # second corpus-wide distinct (guide §2.3 aggregate before you
+    # shuffle). The explode of the langs set is bounded by the language
+    # count. The (lang, wv) distinct stays: two shingles may fold to the
+    # same 48-bit wv, and the sketch contract counts distinct hashes.
+    sh = shingles(d, "doc_id", "text", extra=("lang",))
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.collect_set("lang").alias("langs"))
+        .localCheckpoint(eager=False)
     )
-    # barrier: the 48-bit fold reads 12 hex chars of the md5 — materialize
-    # the digest once per row instead of 12 inlined evaluations.
-    hashed = sh.select(
-        "lang",
-        F.explode(F.array(F.expr("md5(cast(shingle as binary))"))).alias("hh"),
-    ).select("lang", F.expr(_kmv_w("hh")).alias("wv")).distinct()
+    hashed = (
+        post.select(
+            F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv"), "langs"
+        )
+        .select(F.explode("langs").alias("lang"), "wv")
+        .distinct()
+    )
     # Per-group k-smallest WITHOUT sorting the group in one task: level 1
     # ranks inside (lang, wv % 64) salted subgroups — each holds ~1/64 of
     # the group — and only the per-subgroup k-minima (<= 64k rows/group)
@@ -610,8 +622,10 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_in_sketch"), F.max("wv").alias("mk")
     )
     stats = hashed.groupBy("lang").agg(F.count("*").alias("n_hashes"))
-    exact = sh.select("lang", "shingle").distinct().groupBy("lang").agg(
-        F.count("*").alias("n_exact")
+    exact = (
+        post.select(F.explode("langs").alias("lang"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_exact"))
     )
     return (
         exact.join(stats, "lang")
@@ -685,13 +699,29 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     d = load(spark, sf_dir, "documents")
-    sh = shingles(d, "doc_id", "text").join(d.select("doc_id", "lang"), "doc_id")
-    dsh = sh.select("lang", "shingle").distinct()
-    # same projection barrier as kmv_distinct: one md5 per row, not 12
-    hashed = dsh.select(
-        "lang",
-        F.explode(F.array(F.expr("md5(cast(shingle as binary))"))).alias("hh"),
-    ).select("lang", F.expr(_kmv_w("hh")).alias("wv")).distinct()
+    # r10: one (shingle -> langs) posting aggregation replaces the
+    # (lang, shingle) distinct, the per-row md5 (once per distinct shingle
+    # now), AND the exact-side full shingle self-join: the posting list is
+    # bounded by the LANGUAGE COUNT, so the exact pairwise intersection is
+    # a map-side pair enumeration over <=|langs| elements followed by one
+    # tiny aggregation — the same posting idiom as capped_jaccard_pairs
+    # with a constant group bound (guide §2.3/§2.4). Exchange count for
+    # the exact side: 1 (was: dsh distinct + two self-join shuffles + pair
+    # groupBy). `langs` is sorted so pair enumeration orders by value.
+    sh = shingles(d, "doc_id", "text", extra=("lang",))
+    post = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
+        .localCheckpoint(eager=False)
+    )
+    dsh = post.select(F.explode("langs").alias("lang"), "shingle")
+    hashed = (
+        post.select(
+            F.expr(_kmv_w("md5(cast(shingle as binary))")).alias("wv"), "langs"
+        )
+        .select(F.explode("langs").alias("lang"), "wv")
+        .distinct()
+    )
     # per-group sketch: same salted two-level k-minima as kmv_distinct
     w1 = Window.partitionBy("lang", F.expr("wv % 64")).orderBy("wv")
     w2 = Window.partitionBy("lang").orderBy("wv")
@@ -726,13 +756,15 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("ku"),
         F.sum((F.col("in_a") * F.col("in_b")).cast("bigint")).alias("kmv_inter"),
     )
-    # exact side: full shingle-relation pairwise intersection (the cost the
-    # sketch avoids at scale) — rides along as the accuracy contract.
-    sa = dsh.select(F.col("lang").alias("lang_a"), "shingle")
-    sb = dsh.select(F.col("lang").alias("lang_b"), "shingle")
+    # exact side (the accuracy contract): lang-pair enumeration inside the
+    # bounded posting rows — no shingle-relation self-join.
+    pair = F.expr(
+        "flatten(transform(langs, x -> transform(filter(langs, y -> y > x),"
+        " y -> struct(x AS lang_a, y AS lang_b))))"
+    )
     inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("lang_a") < F.col("lang_b"))
+        post.select(F.explode(pair).alias("p"))
+        .select("p.lang_a", "p.lang_b")
         .groupBy("lang_a", "lang_b")
         .agg(F.count("*").alias("exact_inter"))
     )
