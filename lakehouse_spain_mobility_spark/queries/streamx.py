@@ -31,9 +31,35 @@ from . import QuerySpec, register
 from .tables import ensure_read_convention
 
 
+
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Clone the session with streaming-sized state partitioning.
+
+    AQE cannot coalesce streaming shuffles, so every micro-batch commits
+    one StateStore per ``spark.sql.shuffle.partitions`` — with the batch
+    default (= core count) the replay's wall-clock is dominated by state
+    commits over near-empty partitions (guide §2.2: fewer, larger
+    partitions; measured r10 same-session: tumbling 1.52→0.78 s, dedup
+    1.89→1.07 s at 8 partitions). The partition count is pinned at the
+    query's FIRST run from session conf, so the clone (own SQLConf, shared
+    SparkContext) scopes the setting to this one stream without touching
+    the session's batch plans. ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides
+    for real deployments where state volume, not core count, should size
+    it (state here is a few hundred rows; at production state sizes set
+    it to cores or higher).
+    """
+    import os
+
+    n = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.shuffle.partitions", str(n))
+    return clone
+
+
 def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
+    spark = _stream_session(spark)
     ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -64,7 +90,7 @@ def q_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name).select(
+    return spark.table(name).localCheckpoint(eager=True).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
@@ -104,6 +130,7 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``diff_us >= gap_us`` island rule."""
     import os
 
+    spark = _stream_session(spark)
     ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -132,7 +159,7 @@ def q_stream_session_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name).select(
+    return spark.table(name).localCheckpoint(eager=True).select(
         F.date_format(F.col("s.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.col("user_id").cast("bigint").alias("user_id"),
         F.col("n_events").cast("bigint").alias("n_events"),
@@ -194,6 +221,7 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    spark = _stream_session(spark)
     ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -236,7 +264,7 @@ def q_stream_dedup_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    return spark.table(name).select(
+    return spark.table(name).localCheckpoint(eager=True).select(
         "event_type", "n_events", "id_checksum", "total_value"
     )
 
@@ -283,6 +311,7 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    spark = _stream_session(spark)
     ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -340,26 +369,20 @@ def q_stream_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A stream-stream join runs FOUR state store instances per shuffle
     # partition, and each pays per-microbatch setup/commit regardless of
     # row count — measured 6.4 s at 32 partitions vs 2.9 s at 8 for the
-    # same sf1 replay. Shuffle partitioning is a per-query choice baked
-    # into the checkpoint at first start, so pin a bounded-replay-sized
-    # value here and restore the session conf after; a continuous
-    # production deployment sizes it to throughput instead.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name)
+    # same sf1 replay. r10: the bounded state partitioning now comes from
+    # the _stream_session clone (shared with the whole exec family, env-
+    # overridable) instead of a set/restore on the caller's conf.
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="stream_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.table(name).localCheckpoint(eager=True)
 
 
 _JOIN_EXEC_SQL = """
@@ -413,6 +436,7 @@ def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.deterministic import micro
 
+    spark = _stream_session(spark)
     ensure_read_convention(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -480,7 +504,7 @@ def q_stream_stateful_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     q.stop()
-    sink = spark.table(name)
+    sink = spark.table(name).localCheckpoint(eager=True)
     final = sink.groupBy("event_type").agg(
         F.max(
             F.struct("n_events", "id_checksum", "value_micros")
