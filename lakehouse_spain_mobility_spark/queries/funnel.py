@@ -32,7 +32,7 @@ from ..operators import dedup as dd
 from ..operators import text_analysis as ta
 from . import QuerySpec, register
 from .dedup import MAX_SHINGLE_DF
-from .tables import load
+from .tables import load, spread
 
 _BENCH = 20  # doc_id < 20 = benchmark stand-in (decontamination convention)
 _MIN_WORDS = 30
@@ -59,9 +59,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eight stage counts union into ONE action a lazy checkpoint would
     # still recompute the chain per branch within that job — eager
     # materializes each survivor set exactly once.
-    exact = quality.join(
-        keep_first.select("doc_id"), "doc_id", "left_semi"
-    ).localCheckpoint(eager=True)
+    # r10: each eager-checkpointed frontier is spread() — the post-join
+    # frames AQE-coalesce to ~1 partition at this size, which would run
+    # the downstream explode stages (shingles, decon 8-grams, split md5)
+    # on one core; spread reads the REAL materialized partition count and
+    # no-ops at scale. Ladder evidence in OPTIMIZATION_r10.md.
+    exact = spread(
+        quality.join(keep_first.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint(eager=True),
+        spark,
+    )
 
     pairs = (
         dd.capped_jaccard_pairs(
@@ -70,9 +77,12 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d2")
         .distinct()
     )
-    fuzzy = exact.join(
-        pairs.select(F.col("d2").alias("doc_id")), "doc_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    fuzzy = spread(
+        exact.join(
+            pairs.select(F.col("d2").alias("doc_id")), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True),
+        spark,
+    )
 
     def grams(df, w):
         words = F.split(F.col("text"), " ")
@@ -97,8 +107,9 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    clean = fuzzy.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-        eager=True
+    clean = spread(
+        fuzzy.join(contaminated, "doc_id", "left_anti").localCheckpoint(eager=True),
+        spark,
     )
 
     b = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
