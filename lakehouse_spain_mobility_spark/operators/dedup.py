@@ -277,19 +277,27 @@ def sql_minhash_signatures(shingles_sql: str) -> str:
 
 def lsh_bands(signatures: DataFrame) -> DataFrame:
     """Banding: (doc_id, band_idx, band_val) — docs sharing a band value
-    are candidate near-duplicates."""
-    parts = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        parts.append(
-            signatures.select(
-                "doc_id", F.lit(b).alias("band_idx"), F.concat(*cols).alias("band_val")
-            )
+    are candidate near-duplicates.
+
+    r10: one explode over an inline struct array instead of a UNION of
+    per-band projections — the union duplicated the whole signature
+    subtree per band (ReusedExchange papers over some of it, but the
+    duplicated map side still plans and runs; same-session A/B of the
+    full candidate chain at sf0.1: 1.43 → 0.95 s, identical rows)."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat(
+                *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias("band_val"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        for b in range(N_BANDS)
+    ]
+    return signatures.select("doc_id", F.explode(F.array(*structs)).alias("bv")).select(
+        "doc_id",
+        F.col("bv.band_idx").alias("band_idx"),
+        F.col("bv.band_val").alias("band_val"),
+    )
 
 
 def sql_lsh_bands(signatures_sql: str) -> str:
