@@ -56,9 +56,18 @@ BENCH2 = [
 
 
 def _run_set(spark, specs, sf_dir) -> tuple[dict[str, float], float]:
+    import gc
+
     timings: dict[str, float] = {}
     total = 0.0
     for spec in specs:
+        # Drop the previous query's DataFrame/checkpoint references NOW so
+        # the ContextCleaner unpersists their blocks before the next
+        # measurement instead of mid-measurement (measurement hygiene
+        # only: the timed action is unchanged; without this, leftover
+        # localCheckpoint blocks from earlier queries age the session and
+        # inflate later rows irreproducibly - OPTIMIZATION_r10.md).
+        gc.collect()
         # One warmup run amortizes JVM/codegen compilation, then measure.
         # collect(), not count(): count() lets Catalyst prune the output
         # expressions (aggregate values are never computed), which
