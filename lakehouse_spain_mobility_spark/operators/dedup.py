@@ -158,8 +158,8 @@ def jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
 
 
 def posting_lists(sh: DataFrame, max_df: int) -> DataFrame:
-    """df-capped posting lists: one row per kept shingle with the sorted
-    doc_id list (length <= ``max_df``) — ONE hash aggregation on shingle.
+    """df-capped posting lists: one row per kept shingle with the doc_id
+    list (length <= ``max_df``) — one exchange on shingle.
 
     This replaces the two-step ``df_capped_shingles`` + self-join shape
     for pair generation: the df cap that makes the Jaccard join linear
@@ -169,13 +169,31 @@ def posting_lists(sh: DataFrame, max_df: int) -> DataFrame:
     more through an equi-join (guide §2.3/§2.4: aggregate before you
     shuffle; the posting row is the map-side-collapsed form of the whole
     per-shingle join group). collect_list order is irrelevant — pair
-    enumeration orders by value (d1 < d2). Scale-safe by the same cap
-    argument as the join form: group state is <= max_df ids.
+    enumeration orders by value (d1 < d2).
+
+    Bounded-state ordering (r11): the df count runs BEFORE any list is
+    built. A collect_list aggregation buffer cannot spill *within one
+    group*, so the r10 form (collect, then filter on size) materialized a
+    stop-word shingle's full corpus-wide doc list in one buffer before
+    discarding it — exactly the blow-up the cap exists to prevent. The
+    window count's per-group state is one long, WindowExec's row buffer
+    spills to disk (ExternalAppendOnlyUnsafeRowArray), and only rows of
+    surviving shingles (df <= max_df) reach the list aggregation, so no
+    aggregation buffer ever exceeds max_df ids. The window, the filter
+    and the final groupBy all hash-cluster on shingle, so the whole chain
+    still rides ONE exchange (guide §2.4/§5; A/B vs the count-then-
+    semi-join form, which pays a second corpus exchange: 1.72 s vs 2.24 s
+    at sf0.1, old unbounded form 1.57 s — outputs identical).
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
     return (
-        sh.groupBy("shingle")
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .filter(F.col("_df") <= max_df)
+        .drop("_df")
+        .groupBy("shingle")
         .agg(F.collect_list("doc_id").alias("docs"))
-        .filter(F.size("docs") <= max_df)
     )
 
 
@@ -207,27 +225,81 @@ def capped_sizes(post: DataFrame) -> DataFrame:
     )
 
 
+# Broadcast gate for per-document relations (sizes, representatives):
+# ~24 bytes/row in the built hash relation => ~100 MB at this cap, far under
+# the 8 GB / 512M-row broadcast hard limit but large enough that every bench
+# and any single-machine corpus qualifies. Relations above the cap are
+# unbounded-by-construction (one row per corpus document) and must flow
+# through a shuffle join instead of the driver (guide §3.1; ADVICE r10).
+BCAST_DOC_CAP = 4_000_000
+
+
+def docs_fit_broadcast(sf_dir: str, table: str = "documents", cap: int = BCAST_DOC_CAP) -> bool:
+    """True when the corpus table provably holds <= ``cap`` rows, read from
+    parquet FOOTER METADATA only (no job, no data read — a plan-choice
+    probe, not a result cache). Every per-doc relation a dedup query
+    derives (sizes, survivors, representatives) is bounded by this row
+    count, so the gate is sound for all of them."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{table}.parquet")
+    files = sorted(_glob.glob(_os.path.join(path, "*.parquet"))) if _os.path.isdir(path) else [path]
+    total = 0
+    for f in files:
+        try:
+            total += _pq.ParquetFile(f).metadata.num_rows
+        except OSError:
+            return False
+        if total > cap:
+            return False
+    return True
+
+
 def capped_jaccard_pairs(
-    sh: DataFrame, max_df: int, min_jaccard: float = 0.0
+    sh: DataFrame,
+    max_df: int,
+    min_jaccard: float = 0.0,
+    broadcast_sizes: bool = False,
 ) -> DataFrame:
     """Fused ``df_capped_shingles`` + ``jaccard_pairs``: identical output
     (same columns, same doubles), built from bounded posting lists.
 
-    Plan shape: groupBy(shingle) -> map-side pair enumeration ->
-    groupBy(d1,d2), plus a broadcast of the per-doc sizes — 3 exchanges
-    where the join form pays ~7 (cap groupBy, semi-join, two self-join
-    shuffles, pair groupBy, sizes groupBy, sizes joins)."""
-    post = posting_lists(sh, max_df).localCheckpoint(eager=False)
+    Plan shape: window df-count + groupBy, both on shingle (one corpus
+    exchange) -> map-side pair enumeration -> groupBy(d1,d2), plus the
+    per-doc sizes joins — where the join form pays ~7 exchanges (cap
+    groupBy, semi-join, two self-join shuffles, pair groupBy, sizes
+    groupBy, sizes joins).
+
+    r11: the posting checkpoint is eager (the lazy form races AQE when
+    the pair stage and the sizes stage materialize concurrently — the
+    posting aggregation could compute twice), and the broadcast hint on
+    the per-doc sizes is GATED by the caller (``broadcast_sizes``, from
+    ``docs_fit_broadcast`` — a parquet-metadata row-count bound, no job):
+    sizes is one row per document — unbounded at corpus scale, so an
+    unconditional hint is a driver-OOM path at 100 TB (ADVICE r10).
+    Measured at sf0.1: hint-less SMJ cost curation_funnel +0.6-0.9 s (the
+    pair-side exchange), so the hint stays where the metadata proves it
+    safe; above the cap, sizes is checkpointed once so the two join
+    sides share one computation of the explode+agg.
+    """
+    post = posting_lists(sh, max_df).localCheckpoint(eager=True)
     inter = posting_pair_counts(post)
     sizes = capped_sizes(post)
+    if not broadcast_sizes:
+        sizes = sizes.localCheckpoint(eager=True)
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    if broadcast_sizes:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     j = F.col("intersection").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("intersection")
     )
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .select("d1", "d2", "intersection", j.alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )

@@ -36,7 +36,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the aggregated rows instead of a second+third shuffle of the
     # exploded corpus (operators/dedup.py:capped_jaccard_pairs).
     sh = dd.shingles(d, "doc_id", "text")
-    return dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
+    return dd.capped_jaccard_pairs(
+        sh, MAX_SHINGLE_DF, min_jaccard=0.5,
+        broadcast_sizes=dd.docs_fit_broadcast(sf_dir),
+    )
 
 
 _CAPPED_SHINGLES_SQL = dd.sql_df_capped_shingles(_SHINGLES_SQL, MAX_SHINGLE_DF)
@@ -175,7 +178,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles(d, "doc_id", "text")
-    edges = dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
+    edges = dd.capped_jaccard_pairs(
+        sh, MAX_SHINGLE_DF, min_jaccard=0.5,
+        broadcast_sizes=dd.docs_fit_broadcast(sf_dir),
+    )
     cc = connected_components(edges.select("d1", "d2"))
     return (
         cc.groupBy("component")
@@ -273,21 +279,36 @@ for _spec in [
 def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.deterministic import micro
 
+    from concurrent.futures import ThreadPoolExecutor
+
     d = load(spark, sf_dir, "documents")
-    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=False)
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
     # Both pair sets feed two consumers each (their own COUNT and the hits
     # semi-join): checkpoint so the Jaccard posting pass and the full
-    # MinHash/band pipeline run once, not twice.
-    truth = (
-        dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
-        .select("d1", "d2")
-        .localCheckpoint(eager=False)
-    )
-    cands = (
-        dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
-        .select("d1", "d2")
-        .localCheckpoint(eager=False)
-    )
+    # MinHash/band pipeline run once, not twice. r11: the two branches are
+    # independent job chains over the materialized sh — build them on a
+    # 2-thread pool so their stages overlap deliberately (guide §2.6)
+    # instead of via the lazy-checkpoint race the r10 form relied on.
+    def _truth() -> DataFrame:
+        return (
+            dd.capped_jaccard_pairs(
+                sh, MAX_SHINGLE_DF, min_jaccard=0.5,
+                broadcast_sizes=dd.docs_fit_broadcast(sf_dir),
+            )
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
+        )
+
+    def _cands() -> DataFrame:
+        return (
+            dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+            .select("d1", "d2")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ft, fc = pool.submit(_truth), pool.submit(_cands)
+        truth, cands = ft.result(), fc.result()
     hits = truth.join(cands, ["d1", "d2"], "left_semi")
     return (
         truth.agg(F.count("*").alias("n_true"))
@@ -349,18 +370,26 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     # r10: same fused posting-list shape as capped_jaccard_pairs — one
-    # groupBy(shingle), pair enumeration inside the bounded posting rows,
-    # one pair count, broadcast sizes (guide §2.3/§2.4).
+    # corpus exchange on shingle, pair enumeration inside the bounded
+    # posting rows, one pair count (guide §2.3/§2.4). r11: eager
+    # checkpoints (concurrent consumers), sizes materialized once, and
+    # the broadcast hint gated on its real count (per-doc relation —
+    # unbounded at corpus scale; see capped_jaccard_pairs).
     sh = dd.shingles(d, "doc_id", "text")
-    post = dd.posting_lists(sh, MAX_SHINGLE_DF).localCheckpoint(eager=False)
+    post = dd.posting_lists(sh, MAX_SHINGLE_DF).localCheckpoint(eager=True)
     inter = dd.posting_pair_counts(post)
     sizes = dd.capped_sizes(post)
+    bcast = dd.docs_fit_broadcast(sf_dir)
+    if not bcast:
+        sizes = sizes.localCheckpoint(eager=True)
     s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    if bcast:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     cont = F.col("intersection").cast("double") / F.least("n1", "n2").cast("double")
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1")
+        .join(s2, "d2")
         .filter(cont >= 0.8)
         .select("d1", "d2", "intersection", micro(cont).alias("containment_ppm"))
     )

@@ -72,7 +72,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = (
         dd.capped_jaccard_pairs(
-            dd.shingles(exact, "doc_id", "text"), MAX_SHINGLE_DF, min_jaccard=0.5
+            dd.shingles(exact, "doc_id", "text"), MAX_SHINGLE_DF, min_jaccard=0.5,
+            broadcast_sizes=dd.docs_fit_broadcast(sf_dir),
         )
         .select("d2")
         .distinct()

@@ -56,7 +56,10 @@ from ..operators.graph import connected_components, sql_connected_components
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = dd.shingles(d, "doc_id", "text")
-    edges = dd.capped_jaccard_pairs(sh, MAX_SHINGLE_DF, min_jaccard=0.5)
+    edges = dd.capped_jaccard_pairs(
+        sh, MAX_SHINGLE_DF, min_jaccard=0.5,
+        broadcast_sizes=dd.docs_fit_broadcast(sf_dir),
+    )
     cc = connected_components(edges.select("d1", "d2"))
     scores = q_quality_logreg(spark, sf_dir).select("doc_id", "score_ppm")
     members = cc.join(scores, cc.vertex == scores.doc_id).select(

@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.dedup import shingles, sql_shingles
+from ..operators.dedup import docs_fit_broadcast, shingles, sql_shingles
 from . import QuerySpec, register
 from .tables import load
 
@@ -73,12 +73,16 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "replicas")
         .localCheckpoint(eager=True)
     )
-    # Broadcast the representative-id filter: the query already assumes a
-    # broadcastable reps relation (the accounting joins below broadcast
-    # ra/rb), and the broadcast keeps the big side's scan partitioning for
-    # the tokenize stage instead of shuffling the raw texts by doc_id
-    # (guide §3.1). r10 same-session A/B: 5.05 -> 4.87 s.
-    rep_docs = d.join(F.broadcast(reps.select("doc_id")), "doc_id")
+    # Broadcast the representative-id filter WHEN the corpus row count
+    # proves it safe (r11: reps is one row per distinct text — unbounded
+    # at corpus scale, so the r10 unconditional hint was a driver-OOM
+    # path; the parquet-metadata gate keeps the hint at bench scale,
+    # where it preserves the big side's scan partitioning for the
+    # tokenize stage instead of shuffling raw texts by doc_id — guide
+    # §3.1; r10 same-session A/B: 5.05 -> 4.87 s).
+    reps_small = docs_fit_broadcast(sf_dir)
+    _b = F.broadcast if reps_small else (lambda df: df)
+    rep_docs = d.join(_b(reps.select("doc_id")), "doc_id")
     # 3-gram word shingles (the dedup family's discriminative unit —
     # unigram sets over a bounded vocabulary make every pair look similar).
     toks = shingles(rep_docs, "doc_id", "text").select(
@@ -122,11 +126,35 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alpha = ceil(t/(1+t)·(n_a+n_b)). Recall is intact because for any
     # qualifying pair the globally-smallest shared token is a
     # prefix-prefix match (the prefix-length lemma) and at that match the
-    # bound >= the true overlap >= alpha. Exact integer arithmetic:
-    # ceil(p/q) = -((-p) div q). r10 measured: candidates 193k -> 76k,
-    # final rows unchanged (241), full query 7.44 -> 5.05 s same-session.
-    alpha = F.expr(
-        f"CAST(-((-({_T_NUM} * (n_a + n_b))) DIV ({_T_NUM} + {_T_DEN})) AS INT)"
+    # bound >= the true overlap >= alpha. Exact integer ceiling with
+    # positive operands: ceil(p/q) = (p + q - 1) DIV q (r11 — the r10
+    # form -((-p) DIV q) is a FLOOR under Spark's truncate-toward-zero
+    # DIV, i.e. one below the true alpha whenever q does not divide p:
+    # recall-safe but weaker pruning; ADVICE r10).
+    #
+    # r11 accumulated form: the r10 per-row filter + DISTINCT kept a pair
+    # if ANY single match passed the bound. Both docs order tokens by the
+    # same global (df, term) key, so a pair's shared prefix tokens appear
+    # in the same relative order in both prefixes; aggregating ALL
+    # matches per pair gives c = |shared prefix tokens| with last-match
+    # positions (mpa, mpb), and every shared token NOT counted in c lies
+    # after position mpa in a AND after mpb in b (if it were inside both
+    # prefixes it would be counted; outside one prefix means a later
+    # global order than the last counted match, hence a later position in
+    # BOTH). So overlap <= c + min(n_a - mpa, n_b - mpb) — strictly
+    # tighter than the single-match bound whenever c >= 2 — and the
+    # single-match existence bound (first match, largest remainder) is
+    # kept as max(pass) over rows. The pair groupBy replaces the r10
+    # DISTINCT: same exchange, map-side partials collapse matches per
+    # pair, candidates shrink before the expensive verification joins.
+    alpha_of = lambda n_sum: F.expr(
+        f"CAST((({_T_NUM} * ({n_sum})) + ({_T_NUM} + {_T_DEN}) - 1)"
+        f" DIV ({_T_NUM} + {_T_DEN}) AS INT)"
+    )
+    row_pass = (
+        F.lit(1)
+        + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+        >= alpha_of("n_a + n_b")
     )
     cand = (
         a.join(b, "term")
@@ -135,13 +163,20 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("n_a", "n_b") * F.lit(_T_DEN)
             >= F.lit(_T_NUM) * F.greatest("n_a", "n_b")
         )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
+            F.max(row_pass.cast("int")).alias("any_pass"),
+        )
+        .filter(F.col("any_pass") == 1)
         .filter(
-            F.lit(1)
-            + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
-            >= alpha
+            F.col("c")
+            + F.least(F.col("n_a") - F.col("mpa"), F.col("n_b") - F.col("mpb"))
+            >= alpha_of("n_a + n_b")
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
-        .distinct()
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("term").alias("t_a"))
     tb = toks.select(F.col("doc_id").alias("db"), F.col("term").alias("t_b"))
@@ -158,8 +193,8 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ra = reps.select(F.col("doc_id").alias("doc_a"), F.col("replicas").alias("replicas_a"))
     rb = reps.select(F.col("doc_id").alias("doc_b"), F.col("replicas").alias("replicas_b"))
     return (
-        verified.join(F.broadcast(ra), "doc_a")
-        .join(F.broadcast(rb), "doc_b")
+        verified.join(_b(ra), "doc_a")
+        .join(_b(rb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -594,7 +594,9 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (
         sh.groupBy("shingle")
         .agg(F.collect_set("lang").alias("langs"))
-        .localCheckpoint(eager=False)
+        # eager: post roots several independently-materializing AQE stages
+        # (hashed, exact) — the lazy form can compute the aggregation twice
+        .localCheckpoint(eager=True)
     )
     hashed = (
         post.select(
@@ -712,7 +714,9 @@ def q_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     post = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_set("lang")).alias("langs"))
-        .localCheckpoint(eager=False)
+        # eager: three consumers (dsh, hashed, inter) materialize as
+        # independent AQE stages — see kmv_distinct note
+        .localCheckpoint(eager=True)
     )
     dsh = post.select(F.explode("langs").alias("lang"), "shingle")
     hashed = (

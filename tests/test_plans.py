@@ -570,3 +570,59 @@ def test_prefix_filter_positional_filter_preserves_output(spark):
     con = duckdb_connection(SF_DIR_ORACLE)
     want = sorted(con.execute(spec.oracle).fetchall())
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_posting_lists_bounded_state_ordering(spark):
+    """r11 scale-safety contract (VERDICT r10 #1): the df cap must apply
+    BEFORE any doc list is aggregated, so no collect_list buffer can ever
+    exceed max_df ids. Plan shape: a Window count + Filter strictly below
+    the collect_list aggregation, all riding ONE exchange; and the output
+    matches the old collect-then-filter form row-for-row."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.queries.dedup import MAX_SHINGLE_DF
+
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    post = dd.posting_lists(sh, MAX_SHINGLE_DF)
+    plan = post._sc._jvm.PythonSQLUtils.explainString(
+        post._jdf.queryExecution(), "formatted"
+    )
+    # exactly one exchange above the checkpointed shingle scan (each node
+    # appears twice in formatted output: tree line + detail header)
+    assert plan.count("+- Exchange") == 1 and plan.count("Exchange") == 2, plan
+    # the bounding Window count sits below the list aggregation
+    i_window = plan.index("Window")
+    i_agg = plan.index("ObjectHashAggregate")
+    assert i_window > i_agg  # formatted plans list operators top-down (root first)
+    # row equality with the unbounded r10 form
+    old = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .filter(F.size("docs") <= MAX_SHINGLE_DF)
+    )
+    new_rows = sorted((r.shingle, sorted(r.docs)) for r in post.collect())
+    old_rows = sorted((r.shingle, sorted(r.docs)) for r in old.collect())
+    assert new_rows == old_rows
+
+
+def test_capped_jaccard_pairs_broadcast_gate_paths_identical(spark):
+    """r11 gated-broadcast contract (ADVICE r10): both gate outcomes —
+    broadcast hint on the per-doc sizes vs shuffle join — must return
+    identical rows, and the gate helper must bound by parquet metadata."""
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.queries.dedup import MAX_SHINGLE_DF
+
+    assert dd.docs_fit_broadcast(SF_DIR_ORACLE) is True
+    assert dd.docs_fit_broadcast(SF_DIR_ORACLE, cap=1) is False
+
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    sh = dd.shingles(d, "doc_id", "text").localCheckpoint(eager=True)
+    hinted = dd.capped_jaccard_pairs(
+        sh, MAX_SHINGLE_DF, min_jaccard=0.5, broadcast_sizes=True
+    )
+    unhinted = dd.capped_jaccard_pairs(
+        sh, MAX_SHINGLE_DF, min_jaccard=0.5, broadcast_sizes=False
+    )
+    assert sorted(hinted.collect()) == sorted(unhinted.collect())
