@@ -178,13 +178,30 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b", "n_a", "n_b")
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("term").alias("t_a"))
-    tb = toks.select(F.col("doc_id").alias("db"), F.col("term").alias("t_b"))
+    # r11 verification: per-doc token ARRAYS instead of the exploded
+    # double join. The r10 form joined every candidate against both docs'
+    # token rows — |cand| x |doc tokens| intermediate rows (≈3.4M at
+    # sf0.1) shuffled into the pair re-aggregation. Here each doc's
+    # (per-doc distinct) tokens collapse once into an array (group state
+    # bounded by document length), candidates join one row per side, and
+    # the exact intersection is size(array_intersect) computed in-row —
+    # no pair re-aggregation exchange at all (guide §2.3 aggregate before
+    # you shuffle / §3.3 explode-join avoidance). No broadcast hint:
+    # arrs is doc-cardinality (AQE converts at bench scale). Wash in r10
+    # at 193k candidates; a 1.5 s win at r11's 66k (paired A/B 5.02 →
+    # 3.49 s; rows identical).
+    arrs = toks.groupBy("doc_id").agg(F.collect_list("term").alias("arr"))
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, (F.col("doc_b") == F.col("db")) & (F.col("t_a") == F.col("t_b")))
-        .groupBy("doc_a", "doc_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")),
+            "doc_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .select("doc_a", "doc_b", "n_a", "n_b", "inter")
     )
     verified = inter.filter(
         F.col("inter") * F.lit(_T_DEN)
