@@ -44,6 +44,32 @@ def ensure_read_convention(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Table row count from parquet FOOTER METADATA only — no Spark job,
+    no data read. Used for scale-adaptive plan choices (shared-subtree
+    checkpoint vs inline recompute, broadcast gates). Returns None when
+    the footprint is unreadable so callers can default to the scale-safe
+    branch."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    for f in files:
+        try:
+            total += _pq.ParquetFile(f).metadata.num_rows
+        except OSError:
+            return None
+    return total
+
+
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Repartition a scan that underuses the cluster; no-op otherwise.
 

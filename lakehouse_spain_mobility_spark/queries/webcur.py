@@ -83,6 +83,10 @@ def q_line_dedup(
     # explode(array(...)) is a projection barrier (cf. queries/bloom.py):
     # the token array is referenced by the line count, the slice bounds
     # and the slices — CollapseProject would re-tokenize per reference.
+    # (r11: a spread() here was measured HARMFUL at sf0.1 — 0.70 -> 1.16 s
+    # — and a no-op at sf10's 32-file layout; the map output is narrow
+    # hashes, so the repartition moves raw text for parallelism the
+    # single hash-groupBy pipeline doesn't repay. Left alone.)
     docs = d.select("doc_id", F.explode(F.array(toks)).alias("w"))
     n_lines = F.ceil(F.size("w") / F.lit(_LINE_TOKENS)).cast("int")
     lines = docs.select(
@@ -513,34 +517,77 @@ register(
 
 _BP_PCT = 25
 _BP_MIN_DOCS = 4
+# Shared-subtree checkpoint crossover for the line-hash projection: below
+# this corpus size the inline double-compute overlaps across cores and the
+# checkpoint barrier costs more than it saves (paired A/Bs: sf0.1 5k docs
+# inline wins 0.94 vs 1.59 s; sf10 500k docs checkpoint wins 4.90 vs
+# 5.53 s). Env-overridable for other deployments.
+import os as _os
+
+_BP_CKPT_MIN_DOCS = int(_os.environ.get("SPARK_GRAFT_BP_CKPT_MIN_DOCS", "100000"))
 
 
 def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .tables import parquet_num_rows
+
     d = load(spark, sf_dir, "documents")
     toks = F.array_remove(F.split(F.col("text"), " "), "")
     docs = d.select("doc_id", "source", F.explode(F.array(toks)).alias("w"))
     n_lines = F.ceil(F.size("w") / F.lit(_LINE_TOKENS)).cast("int")
-    lines = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1))
-        ).alias("line_no"),
-        "w",
-    ).select(
-        "doc_id",
-        "source",
-        "line_no",
-        F.array_join(
-            F.slice(F.col("w"), F.col("line_no") * _LINE_TOKENS + 1, _LINE_TOKENS), " "
-        ).alias("line"),
-    ).withColumn("lh", F.md5(F.col("line").cast("binary")))
+    # Order-free multiset checksum fingerprint (the line_dedup idiom,
+    # round 9): the (line_no, line) pair hash is computed BEFORE any
+    # exchange; partial SUMs collapse map-side and only (doc_id, 2 longs)
+    # ride the wire. line_no keeps the fingerprint order-sensitive.
+    pair_h = F.expr(
+        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(line_no AS STRING), "
+        "line) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
+    )
+    # r11: both consumers (the presence aggregation and the keep-filter
+    # fingerprint) need only (doc_id, source, lh, ph) — the line hashes.
+    # The r10 form rebuilt the whole tokenize + slice + md5 line
+    # construction per consumer (the query's dominant map work, twice).
+    # Above the crossover the NARROW hashed projection (no token array,
+    # no line text) is materialized once and both stages read it (guide
+    # §2.3 project before the exchange / shared-subtree idiom); below it
+    # the inline recompute stays — at bench scale the two single-ish-task
+    # map stages overlap and the checkpoint barrier only adds wall clock.
+    # Paired A/Bs: sf10 5.53 -> 4.90 s (checkpoint wins), sf0.1 0.94 ->
+    # 1.59 s (checkpoint loses) — routed on parquet-metadata row count,
+    # defaulting to the scale-safe checkpoint when metadata is unreadable.
+    hashed = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1))
+            ).alias("line_no"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "line_no",
+            F.array_join(
+                F.slice(F.col("w"), F.col("line_no") * _LINE_TOKENS + 1, _LINE_TOKENS),
+                " ",
+            ).alias("line"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(F.col("line").cast("binary")).alias("lh"),
+            pair_h.alias("ph"),
+        )
+    )
+    n_docs = parquet_num_rows(sf_dir, "documents")
+    if n_docs is None or n_docs >= _BP_CKPT_MIN_DOCS:
+        hashed = hashed.localCheckpoint(eager=True)
 
     src_docs = d.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
     presence = (
-        lines.select("source", "lh", "doc_id")
+        hashed.select("source", "lh", "doc_id")
         .distinct()
         .groupBy("source", "lh")
         .agg(F.count("*").cast("bigint").alias("n_in"))
@@ -556,21 +603,9 @@ def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # boiler is bounded by construction (lines present in >60% of a
     # source's docs) — explicit broadcast, its size is post-aggregation
-    marked = lines.join(F.broadcast(boiler), ["source", "lh"], "left")
+    marked = hashed.join(F.broadcast(boiler), ["source", "lh"], "left")
     kept = marked.filter(F.col("is_boiler").isNull())
-    # Order-free multiset checksum fingerprint (the line_dedup idiom,
-    # round 9): the round-4 form collect_list'ed each doc's LINE TEXT
-    # through the doc-grain exchange and md5'd the array_sort-reassembled
-    # string — the text shuffle + per-doc buffering was the query's
-    # dominant stage (sf10 5.26 s standalone). The (line_no, line) pair
-    # hash is computed BEFORE the exchange, partial SUMs collapse
-    # map-side, and only (doc_id, 2 longs) ride the wire: 5.26 → measured
-    # in PERF.md round 9. line_no keeps the fingerprint order-sensitive.
-    pair_h = F.expr(
-        "CAST(conv(substring(md5(CAST(concat_ws(':', CAST(line_no AS STRING), "
-        "line) AS BINARY)), 1, 10), 16, 10) AS BIGINT)"
-    )
-    per_doc = kept.select("doc_id", pair_h.alias("ph")).groupBy("doc_id").agg(
+    per_doc = kept.select("doc_id", "ph").groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_kept_lines"),
         (
             F.sum(F.shiftright(F.col("ph"), 31)).cast("decimal(38,0)")
