@@ -269,6 +269,66 @@ def spark_dstddev_samp0(expr: str) -> str:
     return f"COALESCE({spark_dstddev_samp(expr)}, CAST(0.0 AS DOUBLE))"
 
 
+# --- weighted (pre-aggregated) twins ------------------------------------------
+# Exact re-aggregation over a count-compressed cube: a fact where value v
+# appears cnt times contributes round(v·1e6)·cnt to the fixed-point total —
+# the hi/lo split is linear (m·c = (m>>31)·c·2³¹ + (m&mask)·c in plain
+# integer arithmetic), so the weighted sums recombine to the *same exact
+# integer* the row-level dsum produces, and every closing DOUBLE op keeps
+# the identical expression shape. The overflow envelope is the row-level
+# one evaluated at the EXPANDED row count n = Σcnt (same guard semantics;
+# the weighted partials stay inside long range whenever the guard passes:
+# |hi| <= (mg>>31+1)·n < 2⁶¹ and lo < 2³¹·n < 2⁶²). Precondition: cnt >= 1.
+# NULL values carry zero weight (mirrors COUNT/SUM null-skipping).
+
+
+def _spark_wsplit_sum(expr: str, cnt: str) -> str:
+    m = f"CAST(ROUND(({expr}) * 1000000.0) AS BIGINT)"
+    hi = f"SUM(SHIFTRIGHT({m}, 31) * ({cnt}))"
+    lo = f"SUM(({m} & {_MASK31}) * ({cnt}))"
+    n = spark_wcount(expr, cnt)
+    mg = f"MAX(ABS({m}))"
+    total = f"(CAST({hi} AS DECIMAL(38,0)) * {_POW31} + CAST({lo} AS DECIMAL(38,0)))"
+    ok = (
+        f"({n} = 0) OR ({mg} >= 0 AND {mg} < {1 << 62} AND {n} < {_POW31} "
+        f"AND (CAST(SHIFTRIGHT({mg}, 31) + 1 AS DOUBLE) * {n}) < CAST({float(1 << 61)} AS DOUBLE))"
+    )
+    return (
+        f"(CASE WHEN {ok} THEN {total} "
+        f"ELSE RAISE_ERROR('dsum overflow: long fast-path envelope exceeded') END)"
+    )
+
+
+def spark_wcount(expr: str, cnt: str) -> str:
+    """Weighted COUNT twin: expanded non-null row count Σcnt."""
+    return f"COALESCE(SUM(IF(({expr}) IS NULL, 0L, ({cnt}))), 0L)"
+
+
+def spark_wdsum(expr: str, cnt: str) -> str:
+    """Weighted :func:`spark_dsum`: exact fixed-point SUM over a
+    (value, cnt) cube — bit-identical to the row-level sum."""
+    return f"(CAST(CAST({_spark_wsplit_sum(expr, cnt)} AS STRING) AS DOUBLE) / 1000000.0)"
+
+
+def spark_wdavg(expr: str, cnt: str) -> str:
+    return f"({spark_wdsum(expr, cnt)} / {spark_wcount(expr, cnt)})"
+
+
+def spark_wdstddev_samp(expr: str, cnt: str) -> str:
+    s1 = spark_wdsum(expr, cnt)
+    s2 = spark_wdsum(f"({expr}) * ({expr})", cnt)
+    n = spark_wcount(expr, cnt)
+    var = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return (
+        f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST({var}, CAST(0.0 AS DOUBLE))) "
+        f"ELSE CAST(NULL AS DOUBLE) END)"
+    )
+
+
+def spark_wdstddev_samp0(expr: str, cnt: str) -> str:
+    return f"COALESCE({spark_wdstddev_samp(expr, cnt)}, CAST(0.0 AS DOUBLE))"
+
+
 def xdsum(expr: str) -> Column:
     """One-py4j-call Column form of ``dsum`` for SQL-text inputs."""
     return F.expr(spark_dsum(expr))

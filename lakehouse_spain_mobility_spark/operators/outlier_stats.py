@@ -145,6 +145,65 @@ def sigma_filtered_stats_broadcast(
     )
 
 
+def sigma_filtered_stats_cube(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    date_col: str,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Single-fact-pass variant: pre-aggregate to the (keys, date, value)
+    CUBE, then run the whole stats/band/re-aggregation battery over cube
+    rows with exact weighted fixed-point aggregation.
+
+    Every output the battery computes is a function of the cube alone:
+    the per-key moments weight each distinct value by its count (the
+    fixed-point hi/lo split is linear, so the weighted totals are the
+    *same exact integers* the row-level sums produce — see
+    functions/deterministic.py weighted twins), the ±nσ band admits a
+    fact row iff it admits its cube row, and COUNT(DISTINCT date) sees a
+    date iff some surviving cube row carries it. Bit-identical results,
+    proven by the unchanged row-level oracle SQL.
+
+    Why it wins (guide §2.3 aggregate before you shuffle, §6 I/O): the
+    broadcast form scans the fact TWICE (stats pass + join-back pass);
+    here ONE scan feeds a partial aggregation that collapses each input
+    partition to <= |cube| rows before the only exchange, and everything
+    after runs at cube size. Domain assumption, stated honestly: the
+    metric is count-shaped (trip counts per OD/hour — a bounded integer
+    domain), so |cube| = |groups|·|dates|·|values per group| << |fact| at
+    any corpus size (sf10: 100k cube rows vs 10M fact rows). On a
+    continuous metric the cube degenerates to fact grain and this form
+    decays to the window form's full-fact exchange — use ``broadcast``
+    there (kept selectable via q_typical_day(form=...))."""
+    from ..functions.deterministic import (
+        spark_wcount,
+        spark_wdavg,
+        spark_wdstddev_samp0,
+        spark_wdsum,
+    )
+
+    keys = list(keys)
+    v = F.col(value_col)
+    cube = df.groupBy(*keys, date_col, value_col).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    stats = cube.groupBy(*keys).agg(
+        F.expr(spark_wdavg(value_col, "_cnt")).alias("_mu"),
+        F.expr(spark_wdstddev_samp0(value_col, "_cnt")).alias("_sigma"),
+    )
+    joined = cube.join(F.broadcast(stats), on=keys)
+    band_lo = F.col("_mu") - n_sigma * F.col("_sigma")
+    band_hi = F.col("_mu") + n_sigma * F.col("_sigma")
+    filtered = joined.filter(v.between(band_lo, band_hi))
+    return filtered.groupBy(*keys).agg(
+        F.expr(spark_wdsum(value_col, "_cnt")).alias("total_trips"),
+        F.expr(spark_wdavg(value_col, "_cnt")).alias("avg_trips"),
+        F.expr(spark_wdstddev_samp0(value_col, "_cnt")).alias("std_trips"),
+        F.countDistinct(F.col(date_col)).cast("int").alias("num_days_observed"),
+    )
+
+
 def unfiltered_stats(df: DataFrame, keys: Sequence[str], value_col: str, date_col: str) -> DataFrame:
     """The reference's degraded fast path — same battery, no outlier band
     (dags/mitma/new_gold.py:151-179)."""

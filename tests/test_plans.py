@@ -626,3 +626,20 @@ def test_capped_jaccard_pairs_broadcast_gate_paths_identical(spark):
         sh, MAX_SHINGLE_DF, min_jaccard=0.5, broadcast_sizes=False
     )
     assert sorted(hinted.collect()) == sorted(unhinted.collect())
+
+
+def test_typical_day_cube_form_identical(spark):
+    """r11 cube-form contract: the single-pass (keys, date, trips) cube
+    battery with weighted fixed-point moments must return rows BIT-identical
+    to the broadcast two-pass form at any scale (the size routing picks
+    broadcast below the crossover, so small-SF oracle runs never exercise
+    the cube path — this pins it directly)."""
+    from lakehouse_spain_mobility_spark.queries.core import q_typical_day
+
+    a = sorted(
+        tuple(r) for r in q_typical_day(spark, SF_DIR_ORACLE, form="broadcast").collect()
+    )
+    b = sorted(
+        tuple(r) for r in q_typical_day(spark, SF_DIR_ORACLE, form="cube").collect()
+    )
+    assert a == b and len(a) > 0
