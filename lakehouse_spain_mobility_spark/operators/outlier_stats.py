@@ -185,8 +185,17 @@ def sigma_filtered_stats_cube(
 
     keys = list(keys)
     v = F.col(value_col)
-    cube = df.groupBy(*keys, date_col, value_col).agg(
-        F.count(F.lit(1)).alias("_cnt")
+    # Eager checkpoint: the cube feeds two consumers (the stats aggregation
+    # and the band-filtered re-aggregation); without it Catalyst plans the
+    # fact scan + cube aggregation TWICE (verified: executed plan showed 2
+    # parquet scans, zero ReusedExchange). Materializing the cube once is
+    # what makes this genuinely single-fact-pass; the cube is |groups| ·
+    # |dates| · |values per group| rows — bounded by the count-shaped
+    # domain, spill-safe storage (MEMORY_AND_DISK).
+    cube = (
+        df.groupBy(*keys, date_col, value_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .localCheckpoint(eager=True)
     )
     stats = cube.groupBy(*keys).agg(
         F.expr(spark_wdavg(value_col, "_cnt")).alias("_mu"),
