@@ -120,7 +120,33 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh_c = sh.join(cand_docs, "doc_id", "left_semi")
-    verified = dd.jaccard_pairs(sh_c, min_jaccard=0.5).join(cands, ["d1", "d2"])
+    # r11 array verification (the prefix_filter_join move): the r10 form
+    # ran jaccard_pairs over sh_c — a shingle self-join + pair
+    # re-aggregation + two sizes joins, consuming the candidate-restricted
+    # shingle frame three times (sizes, both join sides) and generating
+    # pairs for EVERY co-shingled candidate-doc pair before intersecting
+    # with cands. Here each candidate doc's (per-doc distinct) shingles
+    # collapse once into an array — group state bounded by document
+    # length, the committed spill argument of setjoin.py — the LSH pairs
+    # join one row per side, and size(array_intersect) computes the exact
+    # intersection in-row: sh_c has ONE consumer and only cands-pairs are
+    # ever verified (guide §2.3/§3.3; paired same-session A/B, rows
+    # identical: sf0.1 3.26 → 2.77 s, sf1 3.64 → 3.30 s min-of-3).
+    arrs = sh_c.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("arr"), F.count("*").alias("n")
+    )
+    inter = (
+        cands.join(
+            arrs.select(F.col("doc_id").alias("d1"), F.col("arr").alias("a1"),
+                        F.col("n").alias("n1")), "d1")
+        .join(
+            arrs.select(F.col("doc_id").alias("d2"), F.col("arr").alias("a2"),
+                        F.col("n").alias("n2")), "d2")
+        .withColumn("i", F.size(F.array_intersect("a1", "a2")))
+    )
+    verified = inter.filter(
+        F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")) >= 0.5
+    )
     removed = verified.select(F.col("d2").alias("doc_id")).distinct()
     flagged = (
         d.join(exact_keep.withColumn("is_kept", F.lit(1)), "doc_id", "left")

@@ -672,6 +672,62 @@ def test_capped_jaccard_pairs_broadcast_gate_paths_identical(spark):
     assert sorted(hinted.collect()) == sorted(unhinted.collect())
 
 
+def test_dedup_pipeline_array_verification_identical(spark):
+    """r11 verification contract: dedup_pipeline's Jaccard check runs on
+    per-candidate-doc shingle ARRAYS (size(array_intersect) in-row — group
+    state bounded by document length) and must return rows identical to
+    the r10 shingle self-join + pair re-aggregation form."""
+    from lakehouse_spain_mobility_spark.operators import dedup as dd
+    from lakehouse_spain_mobility_spark.queries.tables import spread
+
+    df = REG["dedup_pipeline"].build(spark, SF_DIR_ORACLE)
+    assert "array_intersect" in pi.executed_plan(df)
+    got = sorted(map(tuple, df.collect()))
+
+    # r10 reference form, inline: jaccard_pairs over the candidate-
+    # restricted shingles, intersected with the LSH candidate pairs.
+    d = load(spark, SF_DIR_ORACLE, "documents")
+    exact_keep = dd.exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    docs_kept = d.join(exact_keep, "doc_id", "left_semi")
+    sh = spread(
+        dd.shingles(docs_kept, "doc_id", "text").localCheckpoint(eager=True), spark
+    )
+    cands = (
+        dd.lsh_candidate_pairs(dd.lsh_bands(dd.minhash_signatures(sh)))
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
+    cand_docs = (
+        cands.select(F.col("d1").alias("doc_id"))
+        .union(cands.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    verified = dd.jaccard_pairs(sh_c, min_jaccard=0.5).join(cands, ["d1", "d2"])
+    removed = verified.select(F.col("d2").alias("doc_id")).distinct()
+    flagged = (
+        d.join(exact_keep.withColumn("is_kept", F.lit(1)), "doc_id", "left")
+        .join(removed.withColumn("is_removed", F.lit(1)), "doc_id", "left")
+    )
+    want = sorted(
+        map(
+            tuple,
+            flagged.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_total"),
+                F.count(F.when(F.col("is_kept") == 1, 1)).alias("n_exact_kept"),
+                F.count(
+                    F.when((F.col("is_kept") == 1) & F.col("is_removed").isNull(), 1)
+                ).alias("n_final_kept"),
+            )
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_typical_day_cube_form_identical(spark):
     """r11 cube-form contract: the single-pass (keys, date, trips) cube
     battery with weighted fixed-point moments must return rows BIT-identical
