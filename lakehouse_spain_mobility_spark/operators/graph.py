@@ -30,7 +30,9 @@ def connected_components(
 
     Converges when no label changes in a round (checked with a single
     count aggregate — a scalar action per iteration, like the k-means
-    shift test).
+    shift test). Labels initialize at the round-1 state (see below), so
+    ``max_iter`` bounds the rounds AFTER the first; total propagation
+    depth is ``max_iter + 1``.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -44,10 +46,21 @@ def connected_components(
     # truncate lineage so the per-round plan stays O(1).
     sym = sym.distinct().localCheckpoint(eager=False)
 
+    # Fused init (r11): labels start at the state AFTER the first
+    # propagation round — min(own, min over neighbours) — computed by ONE
+    # aggregation over sym instead of the identity-labels distinct + a
+    # full round-1 (join + union + min-agg + convergence-count job). Every
+    # vertex appears as `a` in the symmetrized edge set, so the vertex
+    # set is identical, and min-label propagation from the round-1 state
+    # reaches the same fixed point one round sooner: the loop below runs
+    # diameter rounds instead of diameter+1. Per-group aggregation state
+    # is one value (spill-safe). Paired A/B at sf0.1 (rows identical):
+    # dedup_clusters 2.67 -> 2.46 s, cluster_representatives 3.25 ->
+    # 2.79 s min-of-3.
     labels = (
-        sym.select(F.col("a").alias("vertex"))
-        .distinct()
-        .withColumn("component", F.col("vertex"))
+        sym.groupBy("a")
+        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("component"))
+        .select(F.col("a").alias("vertex"), "component")
     ).localCheckpoint(eager=False)
 
     for _ in range(max_iter):

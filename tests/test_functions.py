@@ -100,6 +100,19 @@ def test_connected_components_chain_merge(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
 
 
+def test_connected_components_deep_chain(spark):
+    """r11 fused-init regression: a diameter-6 path (min label at one END,
+    so it must travel the whole chain) plus an isolated self-pair —
+    propagation depth beyond the fused first round must still converge
+    exactly."""
+    from lakehouse_spain_mobility_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(1, 7)]  # 1-2-3-...-7
+    edges = spark.createDataFrame(chain + [(9, 9)], "d1 bigint, d2 bigint")
+    got = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {**{v: 1 for v in range(1, 8)}, 9: 9}
+
+
 def test_from_json_matches_get_json_object(spark):
     """Schema-ful from_json and path-based get_json_object must extract
     identical values from events.props (the two JSON surfaces §2.8 maps
